@@ -1,0 +1,156 @@
+"""Text-analysis column expressions: normalization, shingling, token
+counting, language ID, quality scoring, fingerprinting.
+
+All JVM-side ``pyspark.sql.functions`` — no Python in the hot path.
+These feed the MinHash/SimHash signature stage and double as the
+training-data-pipeline text operators.
+
+Design note for 100 TB: every function here is a scalar expression over
+one row's ``text``; Catalyst fuses them into one WholeStageCodegen pass
+over the scan, so adding N of these columns costs one pipelined pass,
+not N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram-free heuristic language
+# ID.  Deliberately tiny + pinned: deterministic, SQL-expressible (the
+# DuckDB oracle uses the identical lists).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "pour"),
+    "es": ("el", "los", "las", "es", "una", "que", "por", "con"),
+}
+
+# Pinned stopword list for quality scoring (subset of en markers).
+QUALITY_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it")
+
+FINGERPRINT_MOD = 1_000_000_007  # < 2^30: (h*31 + c) stays in int64
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for near-dup comparison: lowercase, collapse
+    all whitespace runs to single spaces, trim.  (Exact-dup stages hash
+    the RAW text — byte-identical per url is the input invariant.)"""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of normalized text; empty text -> empty array."""
+    return F.filter(F.split(normalize_text(col), " "), lambda t: t != F.lit(""))
+
+
+def word_shingles(tok: Column, k: int) -> Column:
+    """Distinct word k-shingles (space-joined k-grams) of a token array.
+
+    Pure JVM: transform over an index sequence + slice + concat_ws.
+    Texts with fewer than k tokens yield an empty array — they ride the
+    exact-only path (the reference's zero-size bypass precedent,
+    /root/reference/lib/App/dupfind/Common.pm:100,107).
+    """
+    n = F.size(tok)
+    return F.when(n >= k, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(tok, i + 1, k)),
+        )
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """xxhash64 of every shingle — the 64-bit feature universe that both
+    MinHash and SimHash consume.  Computed once, reused by both (the
+    reference's 'never hash the same bytes twice' cache spirit,
+    Common.pm:160-193, as compute-once column reuse)."""
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def token_count_subword(col: Column) -> Column:
+    """BPE-ish subword proxy: runs of letters, runs of digits, and each
+    other non-space char count as one token."""
+    return F.regexp_count(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of marker-stopword hits; 'und'
+    (undetermined) when no marker hits.  Ties break by language code
+    order (deterministic)."""
+    tok = tokens(col)
+    scores = [
+        (lang, F.size(F.filter(tok, lambda t, m=markers: t.isin(*m))))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # first language (in sorted order) achieving the max wins
+    for lang, score in reversed(scores):
+        result = F.when(score == best_score, F.lit(lang)).otherwise(result)
+    return F.when(best_score > 0, result).otherwise(F.lit("und"))
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Deterministic quality signals (CCNet/Gopher-style cheap filters)."""
+    tok = tokens(col)
+    n_tok = F.size(tok)
+    n_chars = F.length(col)
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "mean_token_len": F.round(
+            F.aggregate(tok, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+            / safe_tok.cast("double"),
+            6,
+        ),
+        "punct_ratio": F.round(
+            F.regexp_count(col, F.lit(r"[^\w\s]")) / safe_chars.cast("double"), 6
+        ),
+        "digit_ratio": F.round(
+            F.regexp_count(col, F.lit(r"[0-9]")) / safe_chars.cast("double"), 6
+        ),
+        "stopword_ratio": F.round(
+            F.size(F.filter(tok, lambda t: t.isin(*QUALITY_STOPWORDS)))
+            / safe_tok.cast("double"),
+            6,
+        ),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Single [0,1] quality score from the features: rewards mid-length
+    docs with low punct/digit density and a sane stopword ratio.
+    Weights pinned; rounded to 6dp for cross-engine determinism."""
+    f = quality_features(col)
+    length_term = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * length_term
+        + F.lit(0.3) * (F.lit(1.0) - F.least(f["punct_ratio"] * 5, F.lit(1.0)))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(f["digit_ratio"] * 5, F.lit(1.0))),
+        6,
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Order-sensitive polynomial rolling hash of the full text:
+    h = fold(h*31 + ascii(c)) mod 1e9+7.
+
+    Cross-engine reproducible (DuckDB oracle computes the identical
+    fold).  For production-scale fingerprints prefer xxhash64; this one
+    exists for portable document identity across engines.
+    """
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % FINGERPRINT_MOD,
+    )

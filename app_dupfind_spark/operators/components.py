@@ -1,0 +1,145 @@
+"""Connected components over verified dup pairs — J3 in SURVEY §2.5.
+
+The reference's clusters are single-key equivalence classes (one digest
+= one cluster, Common.pm:187) so closure is trivial there; near-dup
+pairs form an arbitrary graph and need real CC.
+
+Primary algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — named by the
+north_star).  Each round is two DataFrame aggregations + joins; the
+edge set converges to a star forest where every node points at its
+component minimum.  O(log^2 n) rounds; dup clusters are near-cliques so
+it converges in 2–3 rounds in practice.
+
+Also provided: min-label propagation (hash-min), a simpler O(diameter)
+algorithm used as a cross-check in tests.
+
+Scale notes:
+- `localCheckpoint(eager=True)` after every round cuts the lineage —
+  iterative self-joins otherwise compound the plan exponentially.
+- Fixpoint detection compares the edge multiset via a count+checksum
+  aggregate (one cheap job), not exceptAll (a full shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Undirected edge list, self-loops dropped, (u,v) with u != v."""
+    return (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u})."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.withColumn("m", F.least("mn", "u")).select("u", "m")
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Direct every edge large->small; for each node u connect u and all
+    its smaller neighbors to min(N⁻(u) ∪ {u})."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v")).distinct()
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    neigh = directed.join(mins, "u").select(
+        F.col("v").alias("n"), F.col("m"), F.col("u")
+    )
+    selfrows = mins.select(F.col("u").alias("n"), F.col("m"), F.col("u"))
+    out = (
+        neigh.select("n", "m")
+        .unionByName(selfrows.select("n", "m"))
+        .where(F.col("n") != F.col("m"))
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+    return out
+
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # mask to 40 bits before summing: ANSI-safe (no long overflow
+        # until ~8M billion rows) while still change-sensitive
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").bitwiseAND(F.lit((1 << 40) - 1))), F.lit(0)
+        ).alias("chk"),
+    ).collect()[0]
+    return row["n"], row["chk"]
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 50, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """(node, component) for every node appearing in `pairs`; component
+    is the minimum node id of the connected component (matching the
+    reference's min-member cluster identity, Common.pm:248-251)."""
+    edges = _canonical_edges(pairs, a, b).localCheckpoint(eager=True)
+    prev = _edge_checksum(edges)
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _edge_checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # converged: every edge points node -> component min (or min -> min)
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("component")).select(
+        F.col("u").alias("node"), "component"
+    )
+
+
+def label_propagation_components(
+    pairs: DataFrame, max_iterations: int = 50, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Cross-check implementation: iterate label(u) = min(label(u),
+    min over neighbors' labels) until fixpoint.  O(diameter) rounds."""
+    edges = _canonical_edges(pairs, a, b)
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = sym.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iterations):
+        neigh = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))

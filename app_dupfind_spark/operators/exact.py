@@ -1,0 +1,166 @@
+"""Exact-duplicate cascade — the reference's core pipeline, relational.
+
+Reference shape (/root/reference/lib/App/dupfind/Common.pm:38-204):
+group by size -> drop singleton groups -> re-group by byte samples
+("weed" passes) -> drop singletons -> group by full xxHash64 digest ->
+drop singletons -> sorted clusters.  Every stage only ever SHRINKS the
+candidate set, and the expensive full-content hash runs last, on the
+fewest rows.
+
+Spark realization: the "master dupes hash" {key => [members]}
+(Common.pm:337-367) is kept in its exploded relational form
+(key, member) and every "drop singleton groups" is a group-size HAVING
+implemented as a count window — one shuffle per stage, no driver-side
+state, no collect.
+
+Scale notes (100 TB):
+- Stages communicate survivors as DataFrames; each HAVING is one hash
+  shuffle on the stage key.  Probe keys for one weed stage are fused
+  into a single composite grouping key => all configured passes cost
+  ONE shuffle, not one per pass (the reference pays a full re-group per
+  pass, Guts.pm:71-98).
+- The final digest group-by is global (crosses size groups), exactly
+  like the reference's rekeying (Common.pm:187): partial aggregation
+  (map-side combine) makes this cheap because true dup groups are tiny.
+- Never carries `html:binary` or the full text through a shuffle except
+  where the digest needs it; callers should select the minimal columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from app_dupfind_spark.config import DedupConfig
+from app_dupfind_spark.functions.probes import WEED_PASS_REGISTRY
+
+# xxhash64('' , seed=42) — Spark's pinned seed.  The reference assigns
+# all zero-size files the digest of the empty string without reading
+# them (Common.pm:127-128); Catalyst constant-folds this literal.
+XXHASH64_SEED = 42
+
+
+def with_size(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """P1: size-key projection (ref Common.pm:57, `-s $_`)."""
+    return df.withColumn("size", F.length(F.col(text_col)).cast("long"))
+
+
+def having_at_least(df: DataFrame, keys: list[str | Column], n: int = 2) -> DataFrame:
+    """P2: singleton-group elimination — THE load-bearing reduction,
+    applied after every stage (ref Common.pm:63-65, 196-198;
+    Guts.pm:145-147; MapReduce.pm:70-73).
+
+    Implemented as a count window over the group key: one shuffle, no
+    join back.  Null-safe: NULL probe keys group together and survive
+    (the reference retains probe-failed files as potential dups,
+    Guts.pm:137,158 — recall-preserving failure mode).
+    """
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__grp_n", F.count(F.lit(1)).over(w))
+        .where(F.col("__grp_n") >= n)
+        .drop("__grp_n")
+    )
+
+
+def weed_key(cfg: DedupConfig, text_col: str = "text") -> Column:
+    """A2: composite probe key for all configured weed passes, fused.
+
+    The reference runs passes sequentially, re-grouping after each
+    (Guts.pm:100-164); grouping by the concatenation of all pass probes
+    is a strictly finer partition computed in one pass — same final
+    survivor set for the cascade (equal text => equal probes), one
+    shuffle total.  NULL probes (almost_middle on short text) map to a
+    sentinel so probe-failed rows keep flowing (P4).
+    """
+    parts = []
+    for name in cfg.weed_passes:
+        probe = WEED_PASS_REGISTRY[name](F.col(text_col), cfg.probe_width)
+        parts.append(F.coalesce(probe, F.lit("\x00__probe_null__")))
+    return F.concat_ws("\x01", *parts)
+
+
+def text_digest(text_col: str = "text") -> Column:
+    """F1: full-content digest.  Spark's built-in xxhash64 (LongType,
+    seed 42) — same algorithm family as the reference's Digest::xxHash
+    (Common.pm:11); we keep it numeric rather than reproducing Perl's
+    signed-hex rendering (t/solutions/007_digest.pl:6).
+    Zero-length texts get the constant empty-digest without branching
+    cost (ref Common.pm:127-128)."""
+    return F.xxhash64(F.col(text_col))
+
+
+def exact_dup_cascade(
+    df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full cascade: size HAVING -> weed HAVING -> digest HAVING.
+
+    Returns (id_col, size, digest) for every member of a multi-member
+    digest group — the relational "master dupes hash" after the digest
+    stage (Common.pm:187-198).
+    """
+    sized = with_size(
+        df.select(id_col, text_col).where(F.col(text_col).isNotNull()), text_col
+    ).where(F.col("size") <= cfg.max_chars)
+
+    # Stage 1: same-size candidates (A1 + P2).
+    survivors = having_at_least(sized, ["size"])
+
+    # Stage 2: weed passes (A2 + P2), zero-size bypass (P3): size-0 rows
+    # skip probing (their samples are undefined in the reference,
+    # Common.pm:100,107) and ride straight to the digest stage.
+    if cfg.weed_enabled and cfg.weed_passes:
+        zero = survivors.where(F.col("size") == 0)
+        nonzero = survivors.where(F.col("size") > 0).withColumn(
+            "__probe", weed_key(cfg, text_col)
+        )
+        weeded = having_at_least(nonzero, ["size", "__probe"]).drop("__probe")
+        survivors = weeded.unionByName(zero)
+
+    # Stage 3: global digest grouping (A3 + P2).
+    digested = survivors.withColumn("digest", text_digest(text_col))
+    dup_members = having_at_least(digested, ["digest"])
+    return dup_members.select(id_col, "size", "digest")
+
+
+def clusters_from_digests(
+    dup_members: DataFrame, id_col: str = "url"
+) -> DataFrame:
+    """O1/O2/O3: cluster assembly.  cluster_id = min(id) within digest
+    group (lex-first member is the 'original', ref Common.pm:206-219,
+    273); is_canonical marks rank 1 (keep-first semantics of the delete
+    stage, Common.pm:263-300 — materialized as a column, the deletion
+    itself is a MERGE/DELETE against the table, never row-at-a-time)."""
+    w = Window.partitionBy("digest")
+    wo = Window.partitionBy("digest").orderBy(id_col)
+    return (
+        dup_members.withColumn("cluster_id", F.min(id_col).over(w))
+        .withColumn("member_rank", F.row_number().over(wo))
+        .withColumn("is_canonical", F.col("member_rank") == 1)
+        .drop("member_rank")
+    )
+
+
+def exact_dup_clusters(
+    df: DataFrame, cfg: DedupConfig, id_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """End-to-end exact pipeline: cascade + cluster assembly."""
+    return clusters_from_digests(exact_dup_cascade(df, cfg, id_col, text_col), id_col)
+
+
+def keep_first(
+    df: DataFrame, key_cols: list[str], order_col: str, id_col: str = "url"
+) -> DataFrame:
+    """A5: dedup-by-composite-key, keep-first — the hardlink-prune
+    analog (ref toss_out_hardlinks, Common.pm:70-94: keeps the
+    asciibetically-first path per (dev,inode)).  Graft form: one row per
+    key, earliest order_col wins, id_col as deterministic tiebreak."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

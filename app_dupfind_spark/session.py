@@ -1,0 +1,48 @@
+"""SparkSession factory with the engine's pinned runtime configuration.
+
+Scale posture: AQE on (runtime re-plan + skew-join splitting), Arrow on
+(every pandas UDF crosses the JVM/Python boundary in columnar batches),
+shuffle partitions sized by config.  On a real cluster these same confs
+ship via spark-submit; locally we pin them here so tests and bench runs
+are reproducible.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "app-dupfind-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    )
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime shuffle-partition coalescing + skew-join splitting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow batches for pandas UDFs; bounded batch size keeps the
+        # Python workers' memory flat regardless of partition size.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # deterministic session timezone for timestamp columns
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
