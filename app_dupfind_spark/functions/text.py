@@ -85,9 +85,14 @@ def lang_id(col: Column) -> Column:
     (undetermined) when no marker hits.  Ties break by language code
     order (deterministic)."""
     tok = tokens(col)
+
+    def marker_count(markers: tuple[str, ...]):
+        # NB: a one-arg lambda is required — a two-arg lambda would be
+        # interpreted by F.filter as (element, index)
+        return F.size(F.filter(tok, lambda t: t.isin(*markers)))
+
     scores = [
-        (lang, F.size(F.filter(tok, lambda t, m=markers: t.isin(*m))))
-        for lang, markers in sorted(LANG_MARKERS.items())
+        (lang, marker_count(markers)) for lang, markers in sorted(LANG_MARKERS.items())
     ]
     best_score = F.greatest(*[s for _, s in scores])
     result = F.lit("und")

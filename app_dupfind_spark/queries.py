@@ -1,0 +1,527 @@
+"""Driver-facing query surface: every implemented operator as a
+(spark, sf_dir) -> DataFrame callable, with a DuckDB-equivalent ANSI
+SQL oracle where the semantics are SQL-expressible.
+
+Parity rules (the driver hash-compares values after sorting columns by
+name):
+- every computed column is aliased identically on both sides;
+- integer results are BIGINT on both sides (Spark int -> cast long);
+- doubles are rounded to 6dp on both sides;
+- tokenization is pinned: lower -> regexp_replace('\\s+', ' ') -> trim
+  -> split(' ') -> drop empty strings (DuckDB regexp_replace needs the
+  'g' flag to match Spark's global replace).
+
+Hash-dependent operators (MinHash/LSH/SimHash, LCS spans, multimodal
+features) have no SQL oracle — the driver records a rows-only check;
+their correctness is established against the pure-Python oracle in
+tests/ instead.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from app_dupfind_spark.config import DedupConfig
+from app_dupfind_spark.functions import probes, text as T
+from app_dupfind_spark.operators import ann
+from app_dupfind_spark.operators.components import connected_components
+from app_dupfind_spark.operators.dedup_pipeline import near_dup_pipeline
+from app_dupfind_spark.operators.exact import having_at_least, keep_first
+from app_dupfind_spark.operators.jaccard import jaccard_pairs
+from app_dupfind_spark.operators.minhash_lsh import candidate_pairs, signatures
+from app_dupfind_spark.operators.multimodal import extract_features
+from app_dupfind_spark.operators.spans import span_candidates, shared_span_pairs
+
+# ---- pinned query-level parameters (mirrored literally in the SQL) ----
+JACCARD_K = 5
+JACCARD_TAU = 0.5
+NEAR_CLUSTER_TAU = 0.7
+SPAN_WORDS = 20
+SPAN_MAX_DF = 100
+TOPK_K = 5
+TOPK_QUERIES = 20          # vec_id < 20 are the query set
+COSINE_TAU = 0.4
+
+CFG = DedupConfig()
+NEAR_CFG = DedupConfig(jaccard_threshold=NEAR_CLUSTER_TAU, span_enabled=False)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------
+# Reference-cascade operators (SURVEY §2.1-2.4) over `documents`
+# --------------------------------------------------------------------
+
+def q_same_size_candidates(spark, sf_dir):
+    """A1+P1+P2: docs whose text length collides with another doc's —
+    the reference's scanfs stage output (size -> members, singleton
+    groups dropped)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("size")
+    )
+    return having_at_least(d, ["size"]).select("doc_id", "size")
+
+
+def q_weed_survivors(spark, sf_dir):
+    """A2+P2: docs surviving the (size, first_middle_last-probe) group
+    HAVING — the reference's weed stage at --wpsize 32."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").cast("long").alias("size"),
+        probes.first_middle_last_chars(F.col("text"), CFG.probe_width).alias("__p"),
+    )
+    sized = having_at_least(d, ["size"])
+    return having_at_least(sized, ["size", "__p"]).select("doc_id", "size")
+
+
+def q_exact_dup_clusters(spark, sf_dir):
+    """A3+O1/O3: every doc labeled with its exact-duplicate cluster
+    (cluster_id = min doc_id over byte-identical text)."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("text")
+    return d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("cluster_id"),
+    ).withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+
+
+def q_keep_first_per_key(spark, sf_dir):
+    """A5: dedup-by-composite-key keep-first (hardlink-prune analog):
+    one row per (lang, source), smallest doc_id wins."""
+    d = _docs(spark, sf_dir).select("lang", "source", "doc_id")
+    return keep_first(d, ["lang", "source"], "doc_id", "doc_id").select(
+        "lang", "source", "doc_id"
+    )
+
+
+# --------------------------------------------------------------------
+# Near-dup operators (graft additions)
+# --------------------------------------------------------------------
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact shingle-Jaccard similarity join (inverted index plan)."""
+    p = jaccard_pairs(_docs(spark, sf_dir), JACCARD_K, JACCARD_TAU, "doc_id", "text")
+    return p.select(
+        "a",
+        "b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "jaccard",
+    )
+
+
+def q_jaccard_components(spark, sf_dir):
+    """J3: connected components (large-star/small-star) over the exact
+    Jaccard pair graph; every doc labeled, singletons label themselves."""
+    d = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(d, JACCARD_K, JACCARD_TAU, "doc_id", "text")
+    comp = connected_components(pairs.select("a", "b"), CFG.cc_max_iterations)
+    return (
+        d.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    """Flagship: full exact+near pipeline over documents (LSH candidates,
+    MinHash-estimated-Jaccard gate at 0.7, exact-dup union, CC)."""
+    d = _docs(spark, sf_dir).withColumn("__ord", F.col("doc_id"))
+    clusters, _ = near_dup_pipeline(
+        spark,
+        d,
+        NEAR_CFG,
+        tempfile.mkdtemp(prefix="ndp_q_"),
+        id_col="doc_id",
+        text_col="text",
+        order_col="__ord",
+    )
+    return clusters.select("doc_id", "cluster_id", "is_canonical")
+
+
+def q_span_candidate_pairs(spark, sf_dir):
+    """Span-stage candidate generation: pairs sharing >= 1 distinct
+    20-word shingle (document frequency in [2, 100])."""
+    return span_candidates(
+        _docs(spark, sf_dir),
+        DedupConfig(span_shingle_words=SPAN_WORDS),
+        "doc_id",
+        "text",
+        max_shingle_df=SPAN_MAX_DF,
+    )
+
+
+# --------------------------------------------------------------------
+# Text-analysis operators
+# --------------------------------------------------------------------
+
+def q_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    feats = T.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[c.alias(n) for n, c in feats.items()],
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).cast("long").alias("n_ws_tokens"),
+        T.token_count_subword(F.col("text")).cast("long").alias("n_subword_tokens"),
+    )
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+def q_binary_meta(spark, sf_dir):
+    """Binary-column plumbing: utf-8 byte length + hex magic prefix of
+    the text treated as an opaque blob."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.hex(F.substring("text", 1, 4)).alias("magic_hex"),
+    )
+
+
+# --------------------------------------------------------------------
+# Embedding similarity operators
+# --------------------------------------------------------------------
+
+def q_embedding_topk(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    out = ann.cosine_topk(
+        e, e.where(F.col("vec_id") < TOPK_QUERIES), TOPK_K, "vec_id", "embedding"
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cos_sim"
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    return ann.embedding_near_dup_pairs(
+        _embs(spark, sf_dir), COSINE_TAU, "vec_id", "embedding"
+    )
+
+
+# --------------------------------------------------------------------
+# Hash-native operators (rows-only check: no SQL oracle can reproduce
+# xxhash64/MinHash; verified against the python oracle in tests/)
+# --------------------------------------------------------------------
+
+def q_minhash_signatures(spark, sf_dir):
+    return signatures(_docs(spark, sf_dir), CFG, "doc_id", "text").select(
+        "doc_id", F.col("n_shingles").cast("long").alias("n_shingles"), "minhash"
+    )
+
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    sigs = signatures(_docs(spark, sf_dir), CFG, "doc_id", "text")
+    pairs, _ = candidate_pairs(sigs, CFG, "doc_id")
+    return pairs.select("a", "b", F.col("n_bands").cast("long").alias("n_bands"))
+
+
+def q_simhash_values(spark, sf_dir):
+    return signatures(_docs(spark, sf_dir), CFG, "doc_id", "text").select(
+        "doc_id", "simhash"
+    )
+
+
+def q_shared_span_pairs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    cfg = DedupConfig(span_shingle_words=SPAN_WORDS, min_span_chars=100)
+    cand = span_candidates(d, cfg, "doc_id", "text", max_shingle_df=SPAN_MAX_DF)
+    return shared_span_pairs(cand, d, cfg.min_span_chars, "doc_id", "text").select(
+        "a", "b", F.col("lcs_len").cast("long").alias("lcs_len")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("asset"),
+        F.lit("text/plain").alias("media_type"),
+    )
+    return extract_features(d, "asset_id", "asset", "media_type", use_fake_decoder=True)
+
+
+# --------------------------------------------------------------------
+# SQL oracles
+# --------------------------------------------------------------------
+
+# shared fragments (DuckDB dialect, matching the Spark expressions)
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"list_filter(string_split({_NORM}, ' '), x -> x <> '')"
+
+
+def _shingle_cte(k: int, table: str = "documents") -> str:
+    """Distinct word-k-shingles per doc: toks/idx/sh/nsh CTE chain."""
+    return f"""
+toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM {table}
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - {k - 1})) AS i
+  FROM toks WHERE len(t) >= {k}
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{k - 1}], ' ') AS shingle FROM idx
+),
+nsh AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+)"""
+
+
+_JACCARD_PAIRS_CTE = f"""
+WITH {_shingle_cte(JACCARD_K)},
+dfq AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2
+),
+co AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, CAST(count(*) AS BIGINT) AS n_common
+  FROM sh s1 JOIN dfq USING (shingle) JOIN sh s2 USING (shingle)
+  WHERE s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT co.a, co.b, co.n_common, na.n AS n_a, nb.n AS n_b,
+         round(co.n_common / CAST(na.n + nb.n - co.n_common AS DOUBLE), 6) AS jaccard
+  FROM co JOIN nsh na ON na.doc_id = co.a JOIN nsh nb ON nb.doc_id = co.b
+)"""
+
+_FML_PROBE = (
+    "CASE WHEN length(text) <= 32 THEN substr(text, 1, 32) "
+    "ELSE substr(text, 1, 32) "
+    "  || substr(text, CAST(floor(length(text)/2) AS INT) + 1, 1) "
+    "  || substr(text, greatest(length(text) - 31, 1), 32) END"
+)
+
+_LANG_CASES = []
+for _lang, _markers in sorted(T.LANG_MARKERS.items()):
+    _in = ", ".join(f"'{m}'" for m in _markers)
+    _LANG_CASES.append(
+        f"len(list_filter({_TOKS}, x -> x IN ({_in}))) AS s_{_lang}"
+    )
+_LANG_SCORE_COLS = ",\n  ".join(_LANG_CASES)
+_LANG_BEST = "greatest(s_de, s_en, s_es, s_fr)"
+_STOP_IN = ", ".join(f"'{m}'" for m in T.QUALITY_STOPWORDS)
+
+ORACLES: dict[str, str] = {
+    "same_size_candidates": """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS size
+FROM documents
+QUALIFY count(*) OVER (PARTITION BY length(text)) >= 2
+""",
+    "weed_survivors": f"""
+WITH sized AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS size, {_FML_PROBE} AS p
+  FROM documents
+  QUALIFY count(*) OVER (PARTITION BY length(text)) >= 2
+)
+SELECT doc_id, size FROM sized
+QUALIFY count(*) OVER (PARTITION BY size, p) >= 2
+""",
+    "exact_dup_clusters": """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY text) AS cluster_id,
+       doc_id = min(doc_id) OVER (PARTITION BY text) AS is_canonical
+FROM documents
+""",
+    "keep_first_per_key": """
+SELECT lang, source, doc_id FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+""",
+    "ngram_jaccard_pairs": f"""
+{_JACCARD_PAIRS_CTE}
+SELECT a, b, n_common, n_a, n_b, jaccard FROM jp WHERE jaccard >= {JACCARD_TAU}
+""",
+    "jaccard_components": f"""
+{_JACCARD_PAIRS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+pairs AS (SELECT a, b FROM jp WHERE jaccard >= {JACCARD_TAU}),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN labels l USING (doc_id)
+""",
+    "near_dup_clusters": f"""
+{_JACCARD_PAIRS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+near_pairs AS (SELECT a, b FROM jp WHERE jaccard >= {NEAR_CLUSTER_TAU}),
+exact_pairs AS (
+  SELECT d1.doc_id AS a, d2.doc_id AS b
+  FROM documents d1 JOIN documents d2 ON d1.text = d2.text
+  WHERE d1.doc_id < d2.doc_id
+),
+all_pairs AS (SELECT a, b FROM near_pairs UNION SELECT a, b FROM exact_pairs),
+edges AS (SELECT a AS u, b AS v FROM all_pairs UNION SELECT b, a FROM all_pairs),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(l.cluster_id, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN labels l USING (doc_id)
+""",
+    "span_candidate_pairs": f"""
+WITH {_shingle_cte(SPAN_WORDS)},
+dfq AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) >= 2 AND count(*) <= {SPAN_MAX_DF}
+)
+SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
+FROM sh s1 JOIN dfq USING (shingle) JOIN sh s2 USING (shingle)
+WHERE s1.doc_id < s2.doc_id
+""",
+    "lang_id": f"""
+WITH scores AS (
+  SELECT doc_id,
+  {_LANG_SCORE_COLS}
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN {_LANG_BEST} = 0 THEN 'und'
+       WHEN s_de = {_LANG_BEST} THEN 'de'
+       WHEN s_en = {_LANG_BEST} THEN 'en'
+       WHEN s_es = {_LANG_BEST} THEN 'es'
+       WHEN s_fr = {_LANG_BEST} THEN 'fr'
+  END AS lang_pred
+FROM scores
+""",
+    "quality_scores": f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS t,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, n_chars,
+    CAST(len(t) AS BIGINT) AS n_tokens,
+    round(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(t, x -> CAST(length(x) AS BIGINT))))
+          / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS mean_token_len,
+    round(len(regexp_extract_all(text, '[^\\w\\s]')) / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS punct_ratio,
+    round(len(regexp_extract_all(text, '[0-9]')) / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS digit_ratio,
+    round(len(list_filter(t, x -> x IN ({_STOP_IN}))) / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, mean_token_len, punct_ratio, digit_ratio,
+       stopword_ratio,
+       round(0.4 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * (1.0 - least(punct_ratio * 5, 1.0))
+           + 0.3 * (1.0 - least(digit_ratio * 5, 1.0)), 6) AS quality
+FROM feats
+""",
+    "token_counts": f"""
+SELECT doc_id,
+  CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subword_tokens
+FROM documents
+""",
+    "doc_fingerprints": """
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (a, b) -> (a * 31 + b) % 1000000007
+  ) AS fingerprint
+FROM documents
+""",
+    "binary_meta": """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  hex(encode(substr(text, 1, 4))) AS magic_hex
+FROM documents
+""",
+    "embedding_topk": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < {TOPK_QUERIES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(list_dot_product(qv, cv) /
+          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+  FROM c, q WHERE neighbor_id <> query_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank,
+       neighbor_id, cos_sim
+FROM scored
+QUALIFY rank <= {TOPK_K}
+""",
+    "embedding_near_dup": f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv FROM embeddings
+)
+SELECT * FROM (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+    round(list_dot_product(a.dv, b.dv) /
+          (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv))), 6) AS cos_sim
+  FROM v a, v b
+  WHERE a.vec_id < b.vec_id
+) WHERE cos_sim >= {COSINE_TAU}
+""",
+}
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "same_size_candidates": q_same_size_candidates,
+    "weed_survivors": q_weed_survivors,
+    "exact_dup_clusters": q_exact_dup_clusters,
+    "keep_first_per_key": q_keep_first_per_key,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "jaccard_components": q_jaccard_components,
+    "near_dup_clusters": q_near_dup_clusters,
+    "span_candidate_pairs": q_span_candidate_pairs,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "token_counts": q_token_counts,
+    "doc_fingerprints": q_doc_fingerprints,
+    "binary_meta": q_binary_meta,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    # hash-native / algorithmic: rows-only checks
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "simhash_values": q_simhash_values,
+    "shared_span_pairs": q_shared_span_pairs,
+    "multimodal_features": q_multimodal_features,
+}
