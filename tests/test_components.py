@@ -1,0 +1,77 @@
+"""Connected components: large-star/small-star vs label propagation vs
+a python union-find oracle on seeded random graphs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from app_dupfind_spark.operators.components import (
+    connected_components,
+    label_propagation_components,
+)
+
+
+def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # relabel every node by component min
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min([r] + ms) for r, ms in comp.items() for n in ms + [r]}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 30, 25), (2, 100, 80), (3, 60, 120)])
+def test_large_small_star_matches_union_find(spark, seed, n_nodes, n_edges):
+    rng = np.random.default_rng(seed)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, n_nodes, size=(n_edges, 2))
+        if a != b
+    ]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    want = _union_find(edges)
+    assert got == want
+
+
+def test_label_propagation_agrees(spark):
+    rng = np.random.default_rng(9)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 50, size=(40, 2))
+        if a != b
+    ]
+    df = spark.createDataFrame(edges, "a long, b long")
+    a = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    b = {r["node"]: r["component"] for r in label_propagation_components(df).collect()}
+    assert a == b
+
+
+def test_string_node_ids(spark):
+    df = spark.createDataFrame(
+        [("u3", "u1"), ("u1", "u2"), ("u9", "u8")], "a string, b string"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {"u1": "u1", "u2": "u1", "u3": "u1", "u8": "u8", "u9": "u8"}
+
+
+def test_long_chain_converges(spark):
+    # path graph stresses iteration count (diameter = n-1)
+    n = 33
+    df = spark.createDataFrame([(i, i + 1) for i in range(n)], "a long, b long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
