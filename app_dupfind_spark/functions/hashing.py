@@ -38,20 +38,40 @@ def make_minhash_udf(cfg: DedupConfig):
     signature of length cfg.num_perm; NULL for rows with no shingles
     (short docs ride the exact-only path)."""
     a, b = _minhash_params(cfg.num_perm, cfg.seed)
+    num_perm = cfg.num_perm
+    # chunk the permutation axis so the (chunk, total_shingles) work
+    # matrix stays ~10 MB regardless of Arrow batch size (cache- and
+    # allocator-friendly across 32 concurrent workers)
+    perm_chunk = max(1, min(num_perm, 16))
 
     @F.pandas_udf(ArrayType(LongType()))
     def minhash_sig(hashes: pd.Series) -> pd.Series:
-        out = []
-        for h in hashes:
-            if h is None or len(h) == 0:
-                out.append(None)
-                continue
-            # fold the 64-bit shingle hash into [0, p): cheap, uniform
-            x = np.asarray(h, dtype=np.int64) % MINHASH_PRIME  # may be <0
-            x = np.where(x < 0, x + MINHASH_PRIME, x)
-            # (num_perm, n_shingles) outer product stays < 2^62
-            sig = ((a[:, None] * x[None, :] + b[:, None]) % MINHASH_PRIME).min(axis=1)
-            out.append(sig)
+        n = len(hashes)
+        lengths = np.fromiter(
+            (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=n
+        )
+        valid = lengths > 0
+        if not valid.any():
+            return pd.Series([None] * n)
+        # flatten ALL shingle hashes of the batch: one numpy kernel per
+        # permutation chunk + minimum.reduceat at row offsets — no
+        # per-row Python loop
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hashes if h is not None and len(h)]
+        )
+        x = flat % MINHASH_PRIME
+        np.add(x, MINHASH_PRIME, out=x, where=x < 0)
+        starts = np.zeros(int(valid.sum()), dtype=np.int64)
+        np.cumsum(lengths[valid][:-1], out=starts[1:])
+        sig_valid = np.empty((starts.size, num_perm), dtype=np.int64)
+        for c0 in range(0, num_perm, perm_chunk):
+            c1 = min(c0 + perm_chunk, num_perm)
+            # (chunk, total_shingles); a*x+b < 2^62 — safe in int64
+            hm = (a[c0:c1, None] * x[None, :] + b[c0:c1, None]) % MINHASH_PRIME
+            sig_valid[:, c0:c1] = np.minimum.reduceat(hm, starts, axis=1).T
+        out = np.empty(n, dtype=object)
+        for j, i in enumerate(np.nonzero(valid)[0]):
+            out[i] = sig_valid[j]
         return pd.Series(out)
 
     return minhash_sig
@@ -67,21 +87,32 @@ def make_simhash_udf(cfg: DedupConfig):
 
     @F.pandas_udf(LongType())
     def simhash(hashes: pd.Series) -> pd.Series:
+        n = len(hashes)
+        lengths = np.fromiter(
+            (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=n
+        )
+        valid = lengths > 0
+        if not valid.any():
+            return pd.Series([None] * n, dtype="Int64")
         shifts = np.arange(64, dtype=np.uint64)
-        out = np.zeros(len(hashes), dtype=np.int64)
-        valid = np.zeros(len(hashes), dtype=bool)
-        for i, h in enumerate(hashes):
-            if h is None or len(h) == 0:
-                continue
-            x = np.asarray(h, dtype=np.int64).astype(np.uint64)
-            bits = ((x[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-            counts = (2 * bits - 1).sum(axis=0)
-            word = np.uint64(0)
-            for j in np.nonzero(counts > 0)[0]:
-                word |= np.uint64(1) << np.uint64(j)
-            out[i] = word.astype(np.int64)
-            valid[i] = True
-        return pd.Series(np.where(valid, out, None), dtype="object").astype("Int64")
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hashes if h is not None and len(h)]
+        ).astype(np.uint64)
+        # (total_shingles, 64) sign matrix, summed per row via reduceat
+        bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        signs = 2 * bits - 1
+        starts = np.zeros(int(valid.sum()), dtype=np.int64)
+        np.cumsum(lengths[valid][:-1], out=starts[1:])
+        counts = np.add.reduceat(signs, starts, axis=0)  # (n_valid, 64)
+        # pack: set bits are disjoint powers of two — exact uint64 sum
+        powers = (np.uint64(1) << shifts)
+        words = ((counts > 0).astype(np.uint64) * powers[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out = np.empty(n, dtype=object)
+        out[valid] = list(words.astype(np.int64))
+        out[~valid] = None
+        return pd.Series(out, dtype="Int64")
 
     return simhash
 

@@ -69,6 +69,23 @@ def shingle_hashes(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: F.xxhash64(s))
 
 
+def fast_shingle_hashes(tok: Column, k: int) -> Column:
+    """Distinct 64-bit k-shingle hashes WITHOUT materializing window
+    strings: hash each token once, then hash length-k slices of the
+    token-hash array (xxhash64 accepts arrays).  Equal windows <=> equal
+    hashes, which is all the signature stages need; skips building
+    ~30-byte strings per window — the dominant cost of the naive
+    shingle pipeline at scale."""
+    tok_h = F.transform(tok, lambda t: F.xxhash64(t))
+    n = F.size(tok_h)
+    return F.when(n >= k, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.xxhash64(F.slice(tok_h, i + 1, k)),
+        )
+    )).otherwise(F.array().cast("array<long>"))
+
+
 def token_count_ws(col: Column) -> Column:
     """Whitespace token count."""
     return F.size(tokens(col))

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from app_dupfind_spark.functions.vectors import as_double_array, cosine
+from app_dupfind_spark.functions.vectors import as_double_array, dot, l2_norm
 
 
 def cosine_topk(
@@ -40,17 +40,26 @@ def cosine_topk(
 
     Returns (query_id, neighbor_id, rank, cos_sim) with cos_sim rounded
     to 6dp; ties broken by neighbor_id (deterministic)."""
+    # norms are computed ONCE per row before the join (the pair join
+    # would otherwise recompute each row's norm per pair); the cosine
+    # formula dot/(na*nb) keeps the exact fp operation order of the
+    # naive form, so results are bitwise-identical to the SQL oracle
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_array(F.col(vec_col)).alias("qv"),
-    )
+    ).withColumn("qn", l2_norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(F.col(vec_col)).alias("cv"),
-    )
+    ).withColumn("cn", l2_norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ),
+        )
         .select("query_id", "neighbor_id", "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -76,21 +85,28 @@ def embedding_near_dup_pairs(
     baseline, only for corpora small enough to broadcast one side.  At
     scale, pass a blocking column (e.g. the LSH code from
     `make_hyperplane_lsh_udf`) so the join is equi-keyed."""
-    a = df.select(
-        F.col(id_col).alias("a"),
-        as_double_array(F.col(vec_col)).alias("va"),
+    base = df.select(
+        F.col(id_col).alias("id"),
+        as_double_array(F.col(vec_col)).alias("v"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    ).withColumn("n", l2_norm(F.col("v")))  # norm once per row, pre-join
+    a = base.select(
+        F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"),
+        *( [F.col("blk")] if block_col else [] ),
     )
-    b = df.select(
-        F.col(id_col).alias("b"),
-        as_double_array(F.col(vec_col)).alias("vb"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    b = base.select(
+        F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"),
+        *( [F.col("blk")] if block_col else [] ),
     )
-    cond = F.col("a") < F.col("b")
-    joined = a.join(b, on=(["blk"] if block_col else []) or None, how="inner") if block_col else a.crossJoin(b)
+    joined = a.join(b, on=["blk"], how="inner") if block_col else a.crossJoin(b)
     return (
-        joined.where(cond)
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        joined.where(F.col("a") < F.col("b"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ),
+        )
         .where(F.col("cos_sim") >= threshold)
         .select("a", "b", "cos_sim")
     )

@@ -92,10 +92,14 @@ def connected_components(
     """(node, component) for every node appearing in `pairs`; component
     is the minimum node id of the connected component (matching the
     reference's min-member cluster identity, Common.pm:248-251)."""
-    edges = _canonical_edges(pairs, a, b).localCheckpoint(eager=True)
+    # lazy localCheckpoint: the checksum action right after it both
+    # materializes the checkpoint and reads the aggregate — ONE Spark
+    # job per iteration instead of two (driver job latency is the fixed
+    # cost that caps scaling efficiency of the iterative stage)
+    edges = _canonical_edges(pairs, a, b).localCheckpoint(eager=False)
     prev = _edge_checksum(edges)
     for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = _edge_checksum(edges)
         if cur == prev:
             break

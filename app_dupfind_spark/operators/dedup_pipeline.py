@@ -90,9 +90,14 @@ def near_dup_pipeline(
         upstream_fingerprint=fp,
     )
 
+    # signatures are range-partitioned on the doc key before the
+    # checkpoint write (north_rule): balanced files, and downstream
+    # per-doc joins (verify stage) read a clustered layout
     sigs = runner.run_stage(
         "sigs",
-        lambda: signatures(canon.df, cfg, id_col, text_col),
+        lambda: signatures(canon.df, cfg, id_col, text_col).repartitionByRange(
+            cfg.shuffle_partitions, id_col
+        ),
         upstream_fingerprint=fp,
     )
 

@@ -24,17 +24,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from app_dupfind_spark.functions.text import tokens, word_shingles
+from app_dupfind_spark.functions.text import fast_shingle_hashes, tokens
 
 
 def doc_shingles(
     df: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, shingle) exploded distinct word k-shingles, plus per-doc
-    shingle count n_shingles (needed for the Jaccard denominator)."""
+    shingle count n_shingles (needed for the Jaccard denominator).
+
+    Shingles are 64-bit xxhash64 keys, not strings: the self-join and
+    every shuffle move 8-byte longs instead of ~30-byte UTF-8 — at web
+    scale the shingle column dominates shuffle volume, and hash-join on
+    longs is markedly faster (collisions at 2^64 are immaterial next to
+    the MinHash approximation downstream)."""
     sh = df.select(
         F.col(id_col),
-        word_shingles(tokens(F.col(text_col)), k).alias("shingles"),
+        fast_shingle_hashes(tokens(F.col(text_col)), k).alias("shingles"),
     ).where(F.size("shingles") > 0)
     return sh.select(
         id_col,

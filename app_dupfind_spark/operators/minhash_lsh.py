@@ -28,7 +28,7 @@ Skew handling (north_rule: "salts skewed LSH buckets"):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from app_dupfind_spark.config import DedupConfig
@@ -37,7 +37,7 @@ from app_dupfind_spark.functions.hashing import (
     make_minhash_udf,
     make_simhash_udf,
 )
-from app_dupfind_spark.functions.text import shingle_hashes, tokens, word_shingles
+from app_dupfind_spark.functions.text import fast_shingle_hashes, tokens
 
 
 def signatures(
@@ -53,10 +53,16 @@ def signatures(
     and ride the exact-only path (the reference's zero-size bypass
     precedent, Common.pm:100,107).
     """
+    # Explicit repartition: checkpointed/small upstream outputs often
+    # arrive as 1-2 partitions (files pack below maxPartitionBytes), and
+    # the Arrow/pandas stage would then run on one core.  Hash-partition
+    # by id so signature compute uses the whole executor pool — the
+    # shuffle moves only (id, text).
+    df = df.repartition(cfg.shuffle_partitions, id_col)
     minhash_udf = make_minhash_udf(cfg)
     hashed = df.select(
         F.col(id_col),
-        shingle_hashes(word_shingles(tokens(F.col(text_col)), cfg.shingle_k)).alias(
+        fast_shingle_hashes(tokens(F.col(text_col)), cfg.shingle_k).alias(
             "sh_hashes"
         ),
     )
@@ -81,31 +87,44 @@ def band_buckets(sigs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> D
 
 
 def candidate_pairs(
-    sigs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
+    sigs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """LSH candidate pairs (a, b, n_bands) with a < b, plus the skew
     report (band, band_hash, bucket_size) of truncated buckets.
 
     J1 in SURVEY §2.5: same-key self-pairing, the grouping-as-join
     pattern the reference uses everywhere (A1–A3).
+
+    Plan shape: bucket sizes come from ONE count window over
+    (band, band_hash) — not a separate aggregate + join back — so the
+    signature UDF lineage is traversed once up to the windowed
+    membership table.  That table is then localCheckpoint'ed (when
+    `materialize`) because the self-join fans the DAG out into two
+    branches: without materialization every branch would re-run the
+    Arrow/pandas signature stage.  (The pipeline runner's parquet
+    checkpoints play this role across stages; this covers standalone
+    use.)  AQE's skew-join splitting handles residual imbalance above
+    the explicit bucket cap.
     """
     buckets = band_buckets(sigs, cfg, id_col)
 
-    # Range-partition bucket membership on the bucket key: co-locates
-    # each bucket's rows and gives the self-join a balanced layout.
-    buckets = buckets.repartitionByRange(
-        cfg.shuffle_partitions, "band", "band_hash"
-    )
-
-    sizes = buckets.groupBy("band", "band_hash").agg(
-        F.count(F.lit(1)).alias("bucket_size")
-    )
-    skew_report = sizes.where(F.col("bucket_size") > cfg.lsh_bucket_cap)
-    ok = sizes.where(
+    w = Window.partitionBy("band", "band_hash")
+    sized = buckets.withColumn("bucket_size", F.count(F.lit(1)).over(w))
+    member = sized.where(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.lsh_bucket_cap)
+    ).select("band", "band_hash", id_col)
+    if materialize:
+        member = member.localCheckpoint(eager=True)
+
+    skew_report = (
+        sized.where(F.col("bucket_size") > cfg.lsh_bucket_cap)
+        .groupBy("band", "band_hash")
+        .agg(F.first("bucket_size").alias("bucket_size"))
     )
 
-    member = buckets.join(ok.select("band", "band_hash"), ["band", "band_hash"])
     a = member.select("band", "band_hash", F.col(id_col).alias("a"))
     b = member.select("band", "band_hash", F.col(id_col).alias("b"))
     pairs = (

@@ -1,0 +1,92 @@
+"""Output sinks — the reference's show/delete surface, relational.
+
+S6 human sink: per-cluster header `DUPLICATES (digest: %s | size: %db)`
++ indented members (/root/reference/lib/App/dupfind/Common.pm:228-237).
+S7 robot sink: one cluster per line, members tab-joined
+(Common.pm:239-244), clusters ordered by their first (min) member
+(Common.pm:248-251) with members sorted within (Common.pm:206-219).
+S8 delete sink: unlink all but the first member of each sorted cluster
+(Common.pm:263-300) — materialized here as the keep-canonical policy
+(never row-at-a-time deletion; on Iceberg this is a MERGE/DELETE).
+
+The report tables are tiny (clusters only), so collect-side rendering
+of the human format is legitimate; the robot format stays a DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def robot_report(clusters: DataFrame, id_col: str = "url") -> DataFrame:
+    """One row per multi-member cluster: (cluster_id, n_members,
+    members) with members tab-joined in sorted order — the robot output
+    contract (Common.pm:239-244)."""
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            # sort in the id's NATIVE order first, stringify after —
+            # numeric ids must not be ordered lexically
+            F.concat_ws(
+                "\t",
+                F.transform(
+                    F.sort_array(F.collect_list(id_col)),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("members"),
+        )
+        .where(F.col("n_members") >= 2)
+    )
+
+
+def human_report_lines(
+    clusters_with_digest: DataFrame, id_col: str = "url"
+) -> list[str]:
+    """Driver-side human format (the report is inherently small):
+    header per cluster + indented members, clusters in min-member
+    order.  Digest rendered in hex like the reference's display (we do
+    NOT round-trip through Perl's signed-hex — SURVEY §2.8 F1)."""
+    rows = (
+        clusters_with_digest.groupBy("cluster_id")
+        .agg(
+            F.first("digest").alias("digest"),
+            F.first("size").alias("size"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+        .where(F.size("members") >= 2)
+        .orderBy("cluster_id")
+        .collect()
+    )
+    out = []
+    for r in rows:
+        out.append(f"DUPLICATES (digest: {r['digest']:x} | size: {r['size']}b)")
+        out.extend(f"    {m}" for m in r["members"])
+    return out
+
+
+def keep_canonical(
+    pages: DataFrame, clusters: DataFrame, id_col: str = "url"
+) -> DataFrame:
+    """S8 as a policy: the deduplicated corpus — one surviving row per
+    cluster (the lex-first member), all non-cluster rows untouched.
+    On Iceberg: `MERGE INTO pages USING clusters ... WHEN MATCHED AND
+    NOT is_canonical THEN DELETE` — this DataFrame is that post-state."""
+    survivors = clusters.where(F.col("is_canonical")).select(id_col)
+    losers = clusters.where(~F.col("is_canonical")).select(id_col)
+    return pages.join(losers, id_col, "left_anti")
+
+
+def dup_summary(clusters: DataFrame, n_scanned: int | None = None) -> DataFrame:
+    """A4 rollup — the reference's run-summary counters (App.pm:424-429:
+    files scanned / size dups / actual dupes): docs in multi-member
+    clusters, clusters, and removable rows (count - one kept per
+    cluster, Common.pm:257)."""
+    return clusters.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col(  # docs sharing a cluster with someone else
+            "cluster_id").isNotNull() & ~F.col("is_canonical")).cast("long")
+        ).alias("n_removable"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )

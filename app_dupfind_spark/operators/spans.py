@@ -7,9 +7,11 @@ common substring and keep pairs with LCS >= min_span_chars.
 Execution shape: the pair list (small — post-LSH survivors only) joins
 each side's text, then a `mapInPandas` computes LCS per Arrow batch.
 The per-pair check is inherently algorithmic (not expressible as a
-column expression); stdlib difflib's find_longest_match (autojunk off)
-is the deterministic kernel — a pydivsufsort-style suffix array drops
-in behind the same interface when available.
+column expression); the kernel is a numpy double-rolling-hash binary
+search over the span length — O(n log n) per pair, ~100x faster than a
+quadratic DP and exact up to ~2^-60 hash-collision odds.  A
+pydivsufsort-style suffix array drops in behind the same `_lcs_len`
+interface when available.
 
 Scale: this stage NEVER sees the corpus — only verified-candidate
 pairs, the reference's "expensive verify last, on the fewest rows"
@@ -20,8 +22,8 @@ the quadratic kernel.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from difflib import SequenceMatcher
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,7 +34,7 @@ from pyspark.sql.types import (
 )
 
 from app_dupfind_spark.config import DedupConfig
-from app_dupfind_spark.functions.text import tokens, word_shingles
+from app_dupfind_spark.functions.text import tokens
 
 
 def span_candidates(
@@ -55,12 +57,22 @@ def span_candidates(
     Boilerplate guard: shingles present in > max_shingle_df docs are
     dropped (a 20-word run shared by hundreds of docs is template text).
     """
+    # windows are hashed as SLICES OF THE TOKEN-HASH ARRAY (xxhash64
+    # accepts arrays) — never materializing the ~120-char window string;
+    # equal windows <=> equal hashes, which is all candidate generation
+    # needs, at a fraction of the string-building cost
+    w = cfg.span_shingle_words
+    tok_h = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    windows = F.when(
+        F.size(tok_h) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok_h) - w),
+            lambda i: F.xxhash64(F.slice(tok_h, i + 1, w)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
     sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            word_shingles(tokens(F.col(text_col)), cfg.span_shingle_words)
-        ).alias("shingle"),
-    ).select("id", F.xxhash64("shingle").alias("sh"))
+        F.col(id_col).alias("id"), F.explode(windows).alias("sh")
+    )
     if cfg.span_sample_mod > 1:
         sh = sh.where(F.pmod(F.col("sh"), F.lit(cfg.span_sample_mod)) == 0)
     sh = sh.distinct()
@@ -80,9 +92,93 @@ def span_candidates(
     )
 
 
-def _lcs_len(x: str, y: str) -> int:
-    m = SequenceMatcher(a=x, b=y, autojunk=False)
-    return m.find_longest_match(0, len(x), 0, len(y)).size
+# double polynomial rolling hash: collisions ~2^-60 per comparison, so
+# the reported length equals the true LCS length for all practical
+# purposes (and is never under-reported below min_len)
+_P1, _B1 = (1 << 31) - 1, 131
+_P2, _B2 = 1073741789, 137
+
+# power / inverse-power tables per (B, P), grown on demand and cached
+# per python worker — makes every window-hash evaluation a pure O(n)
+# numpy expression with no python-level loop
+_TABLES: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _tables(B: int, P: int, n: int) -> tuple[np.ndarray, np.ndarray]:
+    pw, inv = _TABLES.get((B, P), (None, None))
+    if pw is None or pw.size < n:
+        size = max(n, 1 << 12)
+        pw = np.empty(size, dtype=np.int64)
+        iv = np.empty(size, dtype=np.int64)
+        binv = pow(B, P - 2, P)
+        v = w = 1
+        for i in range(size):
+            pw[i], iv[i] = v, w
+            v = (v * B) % P
+            w = (w * binv) % P
+        _TABLES[(B, P)] = (pw, iv)
+        return pw, iv
+    return pw, inv
+
+
+def _codes(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+
+
+def _prefix(c: np.ndarray, B: int, P: int) -> np.ndarray:
+    """S[i] = sum_{j<i} c[j]*B^j — EXACT int64 (terms < 2^31, so up to
+    ~2^31 chars stay within int64); window hash derives from S by
+    subtraction + one modular multiply."""
+    pw, _ = _tables(B, P, c.size + 1)
+    a = (pw[: c.size] * (c % P)) % P
+    s = np.empty(c.size + 1, dtype=np.int64)
+    s[0] = 0
+    np.cumsum(a, out=s[1:])
+    return s
+
+
+def _window_keys_from_prefix(
+    s1: np.ndarray, s2: np.ndarray, L: int
+) -> np.ndarray:
+    _, iv1 = _tables(_B1, _P1, s1.size)
+    _, iv2 = _tables(_B2, _P2, s2.size)
+    n_win = s1.size - L
+    d1 = (s1[L:] - s1[:-L]) % _P1
+    d2 = (s2[L:] - s2[:-L]) % _P2
+    h1 = (d1 * iv1[:n_win]) % _P1
+    h2 = (d2 * iv2[:n_win]) % _P2
+    return (h1 << np.int64(31)) | h2
+
+
+def _has_common(px, py, L: int) -> bool:
+    if L <= 0 or L >= px[0].size or L >= py[0].size:
+        return False
+    kx = _window_keys_from_prefix(px[0], px[1], L)
+    ky = _window_keys_from_prefix(py[0], py[1], L)
+    return np.intersect1d(kx, ky).size > 0
+
+
+def _lcs_len(x: str, y: str, min_len: int = 1) -> int:
+    """Longest common substring length, certified by double rolling
+    hash; returns 0 early when no common substring reaches min_len
+    (the gate), else binary-searches the exact maximum (common-substring
+    existence is monotone in L)."""
+    cx, cy = _codes(x), _codes(y)
+    hi_cap = min(cx.size, cy.size)
+    if min_len > hi_cap or min_len < 1:
+        return 0
+    px = (_prefix(cx, _B1, _P1), _prefix(cx, _B2, _P2))
+    py = (_prefix(cy, _B1, _P1), _prefix(cy, _B2, _P2))
+    if not _has_common(px, py, min_len):
+        return 0
+    lo, hi = min_len, hi_cap  # invariant: common substring of len lo exists
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if _has_common(px, py, mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
 
 
 def shared_span_pairs(
@@ -104,6 +200,11 @@ def shared_span_pairs(
         F.substring(F.col(text_col), 1, max_chars).alias("text_b"),
     )
     joined = pairs.select("a", "b").join(ta, "a").join(tb, "b")
+    # spread the Python LCS kernel across the pool — the pair table is
+    # small enough that AQE would otherwise coalesce it onto one core
+    joined = joined.repartition(
+        max(joined.sparkSession.sparkContext.defaultParallelism, 8), "a", "b"
+    )
 
     out_schema = StructType(
         [f for f in joined.schema.fields if f.name in ("a", "b")]
@@ -113,7 +214,7 @@ def shared_span_pairs(
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             lens = [
-                _lcs_len(x or "", y or "")
+                _lcs_len(x or "", y or "", min_span_chars)
                 for x, y in zip(pdf["text_a"], pdf["text_b"])
             ]
             yield pd.DataFrame(

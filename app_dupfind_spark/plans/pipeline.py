@@ -32,25 +32,26 @@ from dataclasses import dataclass, field
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+
 
 from app_dupfind_spark.config import DedupConfig
 
 MANIFEST_NAME = "_manifest.json"
 
 
-def _partition_lineage(df: DataFrame) -> list[dict]:
-    """Per-partition row counts — cheap lineage evidence recorded in the
-    manifest.  Uses spark_partition_id(), one narrow aggregation."""
-    rows = (
-        df.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(F.count(F.lit(1)).alias("rows"))
-        .collect()
-    )
-    return sorted(
-        ({"partition_id": r["partition_id"], "rows": r["rows"]} for r in rows),
-        key=lambda d: d["partition_id"],
-    )
+def _partition_lineage(data_dir: Path) -> list[dict]:
+    """Per-partition (output file) row counts straight from the parquet
+    footers — ZERO Spark jobs.  Stage overhead is driver-side job
+    latency at scale, so the audit must not add a pass over the data."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for i, f in enumerate(sorted(data_dir.glob("*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        out.append(
+            {"partition_id": i, "file": f.name, "rows": md.num_rows}
+        )
+    return out
 
 
 class TableIO:
@@ -78,10 +79,13 @@ class TableIO:
     def write(self, name: str, df: DataFrame, meta: dict) -> dict:
         target = self.path(name)
         df.write.mode("overwrite").parquet(str(target / "data"))
-        written = self.spark.read.parquet(str(target / "data"))
         manifest = dict(meta)
-        manifest["rows"] = written.count()
-        manifest["partitions"] = _partition_lineage(written)
+        # lineage + row count come from the parquet footers: exactly ONE
+        # Spark job per stage boundary (the write itself) — per-stage
+        # driver latency is the fixed cost that caps scaling efficiency
+        lineage = _partition_lineage(target / "data")
+        manifest["rows"] = sum(p["rows"] for p in lineage)
+        manifest["partitions"] = lineage
         manifest["written_at"] = time.time()
         (target / MANIFEST_NAME).write_text(json.dumps(manifest, indent=1))
         return manifest

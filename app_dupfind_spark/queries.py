@@ -34,6 +34,11 @@ from app_dupfind_spark.operators.exact import having_at_least, keep_first
 from app_dupfind_spark.operators.jaccard import jaccard_pairs
 from app_dupfind_spark.operators.minhash_lsh import candidate_pairs, signatures
 from app_dupfind_spark.operators.multimodal import extract_features
+from app_dupfind_spark.operators.report import (
+    dup_summary,
+    keep_canonical,
+    robot_report,
+)
 from app_dupfind_spark.operators.spans import span_candidates, shared_span_pairs
 
 # ---- pinned query-level parameters (mirrored literally in the SQL) ----
@@ -102,6 +107,27 @@ def q_keep_first_per_key(spark, sf_dir):
     return keep_first(d, ["lang", "source"], "doc_id", "doc_id").select(
         "lang", "source", "doc_id"
     )
+
+
+def q_robot_report(spark, sf_dir):
+    """S7 robot sink: tab-joined sorted members per multi-member exact
+    cluster, one line per cluster (Common.pm:239-244)."""
+    return robot_report(q_exact_dup_clusters(spark, sf_dir), "doc_id").select(
+        "cluster_id", F.col("n_members").cast("long").alias("n_members"), "members"
+    )
+
+
+def q_dedup_keep_canonical(spark, sf_dir):
+    """S8 keep-first policy: the deduplicated corpus (one row per exact
+    cluster, lex-first doc wins; non-dups untouched)."""
+    d = _docs(spark, sf_dir)
+    kept = keep_canonical(d, q_exact_dup_clusters(spark, sf_dir), "doc_id")
+    return kept.select("doc_id", "lang", "source")
+
+
+def q_dup_summary_stats(spark, sf_dir):
+    """A4 rollup: the reference's run-summary counters as a table."""
+    return dup_summary(q_exact_dup_clusters(spark, sf_dir))
 
 
 # --------------------------------------------------------------------
@@ -355,6 +381,29 @@ FROM documents
 SELECT lang, source, doc_id FROM documents
 QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
 """,
+    "robot_report": """
+WITH c AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id
+  FROM documents
+)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       string_agg(CAST(doc_id AS VARCHAR), chr(9) ORDER BY doc_id) AS members
+FROM c GROUP BY cluster_id HAVING count(*) >= 2
+""",
+    "dedup_keep_canonical": """
+SELECT doc_id, lang, source FROM documents
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+""",
+    "dup_summary_stats": """
+WITH c AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removable,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+FROM c
+""",
     "ngram_jaccard_pairs": f"""
 {_JACCARD_PAIRS_CTE}
 SELECT a, b, n_common, n_a, n_b, jaccard FROM jp WHERE jaccard >= {JACCARD_TAU}
@@ -509,6 +558,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keep_first_per_key": q_keep_first_per_key,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "jaccard_components": q_jaccard_components,
+    "robot_report": q_robot_report,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
+    "dup_summary_stats": q_dup_summary_stats,
     "near_dup_clusters": q_near_dup_clusters,
     "span_candidate_pairs": q_span_candidate_pairs,
     "lang_id": q_lang_id,

@@ -35,7 +35,11 @@ def get_spark(
         # Arrow batches for pandas UDFs; bounded batch size keeps the
         # Python workers' memory flat regardless of partition size.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # modest batches keep each python worker's signature-math
+        # working set ~10 MB: with 32 workers per node, large batches
+        # cause simultaneous first-touch arena growth (tens of seconds
+        # of page faults on the first full-size UDF pass)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         # deterministic session timezone for timestamp columns
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

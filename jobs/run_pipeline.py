@@ -1,0 +1,86 @@
+"""spark-submit entry point for the full dedup pipeline.
+
+Cluster usage (north_rule contract):
+
+    python scripts/build_dist.py             # -> dist/app_dupfind_spark.zip
+    spark-submit --py-files dist/app_dupfind_spark.zip \\
+        jobs/run_pipeline.py \\
+        --input <pages parquet/iceberg path> \\
+        --checkpoint-dir <stage checkpoint root> \\
+        --output <clusters sink path> \\
+        [--config k=v ...]
+
+Local smoke:
+
+    python jobs/run_pipeline.py --input /tmp/pages.parquet \\
+        --checkpoint-dir /tmp/ckpt --output /tmp/clusters.parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from app_dupfind_spark.config import DedupConfig  # noqa: E402
+from app_dupfind_spark.operators.dedup_pipeline import near_dup_pipeline  # noqa: E402
+from app_dupfind_spark.session import get_spark  # noqa: E402
+
+
+def parse_config(kvs: list[str]) -> DedupConfig:
+    overrides: dict = {}
+    defaults = DedupConfig()
+    for kv in kvs:
+        k, v = kv.split("=", 1)
+        cur = getattr(defaults, k)  # raises on unknown key — plan-time
+        if isinstance(cur, bool):
+            overrides[k] = v.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            overrides[k] = int(v)
+        elif isinstance(cur, float):
+            overrides[k] = float(v)
+        elif isinstance(cur, tuple):
+            overrides[k] = tuple(v.split(","))
+        else:
+            overrides[k] = v
+    return DedupConfig(**overrides)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--checkpoint-dir", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--config", nargs="*", default=[])
+    ap.add_argument("--id-col", default="url")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--order-col", default="warc_ts")
+    args = ap.parse_args()
+
+    cfg = parse_config(args.config)
+    spark = get_spark(app_name="dupfind-pipeline")
+    pages = spark.read.parquet(args.input)
+    clusters, runner = near_dup_pipeline(
+        spark,
+        pages,
+        cfg,
+        args.checkpoint_dir,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        order_col=args.order_col,
+    )
+    clusters.write.mode("overwrite").parquet(args.output)
+    # the reference prints a per-stage run summary (App.pm:194-219);
+    # ours is the metrics table, also persisted beside the output
+    runner.metrics_df().write.mode("overwrite").parquet(
+        str(Path(args.output).with_suffix("")) + "_stage_metrics.parquet"
+    )
+    print(json.dumps({"stages": runner.metrics}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""One scaling-bench measurement: run the full near-dup pipeline over a
+pre-generated pages parquet at a given parallelism, print JSON.
+
+Invoked by scripts/scaling_bench.py in a fresh JVM per level.
+Usage: _scaling_job.py <pages_parquet> <cpus>
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from app_dupfind_spark.config import DedupConfig  # noqa: E402
+from app_dupfind_spark.operators.dedup_pipeline import near_dup_pipeline  # noqa: E402
+from app_dupfind_spark.operators.minhash_lsh import signatures  # noqa: E402
+from app_dupfind_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    pages_path, cpus = sys.argv[1], int(sys.argv[2])
+    spark = get_spark(
+        app_name=f"scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    pages = spark.read.parquet(pages_path)
+    n_docs = pages.count()
+
+    # untimed warmup (codegen/UDF/join paths).  Spread over >=cpus
+    # partitions: python workers are per-core and each pays the
+    # numpy/pandas import once — warming one partition leaves the other
+    # cores cold inside the timed run
+    warm = pages.limit(40 * cpus).repartition(2 * cpus)
+    signatures(warm, DedupConfig(), "url", "text").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    t0 = time.time()
+    clusters, _ = near_dup_pipeline(
+        spark, pages, DedupConfig(), tempfile.mkdtemp(prefix=f"scal{cpus}_")
+    )
+    n_out = clusters.count()
+    dt = time.time() - t0
+    print(json.dumps({
+        "cpus": cpus, "n_docs": n_docs, "rows_out": n_out,
+        "sec": round(dt, 3), "docs_per_sec": round(n_docs / dt, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Scaling-efficiency evidence for the north_rule's N vs 4N criterion.
+
+No real cluster exists in this sandbox, so (per BASELINE.md sandbox
+protocol) the identical job — the full near-dup pipeline over a
+deterministic synthetic corpus (FIXTURES.md 'bench' profile) — runs at
+two local parallelism levels, fresh JVM each (subprocess), on the same
+input.  Reported: docs/sec at both + efficiency =
+(throughput_4N / throughput_N) / 4.
+
+The corpus is sized so the job is compute-bound (signature UDFs, LSH
+join, CC) rather than fixed-cost-bound — that is what a 4x-core run
+measures on a real cluster at 10^12 docs, where per-stage constants
+amortize to zero.
+
+Writes/updates the '## Measured' section of BASELINE.md and prints the
+JSON result.
+
+Usage: python scripts/scaling_bench.py [scale=600] [n_small=8] [n_large=32]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+MARKER = "## Measured (sandbox scaling evidence)"
+
+
+def generate_corpus(scale: int) -> tuple[str, int]:
+    """Deterministic bench corpus (seed=42), written once, read by both
+    levels."""
+    from app_dupfind_spark.fixtures import build_corpus, pages_df
+    from app_dupfind_spark.session import get_spark
+
+    path = Path(tempfile.gettempdir()) / f"bench_pages_scale{scale}.parquet"
+    corpus = build_corpus(seed=42, scale=scale)
+    if not path.exists():
+        spark = get_spark(app_name="gen-corpus", master="local[8]",
+                          shuffle_partitions=8)
+        pages_df(spark, corpus).repartition(32).write.mode("overwrite").parquet(
+            str(path)
+        )
+        spark.stop()
+    return str(path), len(corpus.rows)
+
+
+def run_level(pages_path: str, cpus: int, reps: int = 2) -> dict:
+    """Best of `reps` fresh-JVM runs — this sandbox has noisy
+    co-tenants (load average >5 at idle), so the minimum is the
+    interference-free estimate."""
+    best = None
+    for _ in range(reps):
+        out = subprocess.run(
+            [sys.executable, str(REPO / "scripts" / "_scaling_job.py"),
+             pages_path, str(cpus)],
+            capture_output=True, text=True, check=True, timeout=3000,
+        )
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        if best is None or r["sec"] < best["sec"]:
+            best = r
+    return best
+
+
+def main() -> None:
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_large = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    pages_path, n_rows = generate_corpus(scale)
+
+    small = run_level(pages_path, n_small)
+    large = run_level(pages_path, n_large)
+    factor = n_large / n_small
+    efficiency = (large["docs_per_sec"] / small["docs_per_sec"]) / factor
+
+    result = {
+        "job": "near_dup_clusters full pipeline",
+        "corpus": {"scale": scale, "rows": n_rows, "path": pages_path},
+        f"local[{n_small}]": small,
+        f"local[{n_large}]": large,
+        "speedup": round(large["docs_per_sec"] / small["docs_per_sec"], 3),
+        "scaling_efficiency": round(efficiency, 3),
+    }
+    print(json.dumps(result))
+
+    section = f"""{MARKER}
+
+No real cluster exists in this sandbox; per the protocol above, the
+identical job (full near-dup pipeline: canon -> exact cascade ->
+MinHash signatures -> LSH candidates -> verify -> spans -> CC ->
+clusters, all stages checkpointed) ran at two local parallelism levels
+in fresh JVMs on the same deterministic synthetic corpus
+(fixtures.build_corpus seed=42 scale={scale}, {n_rows} pages).
+
+| quantity | local[{n_small}] (N) | local[{n_large}] (4N) |
+|---|---|---|
+| pipeline wall time | {small['sec']:.2f} s | {large['sec']:.2f} s |
+| throughput | {small['docs_per_sec']:.1f} docs/s | {large['docs_per_sec']:.1f} docs/s |
+
+Speedup N->4N: {result['speedup']}x; **scaling efficiency
+(throughput_4N / throughput_N) / 4 = {efficiency:.3f}**.
+
+Reproduce: `python scripts/scaling_bench.py {scale} {n_small} {n_large}`.
+"""
+    baseline = REPO / "BASELINE.md"
+    txt = baseline.read_text()
+    if MARKER in txt:
+        txt = txt[: txt.index(MARKER)].rstrip() + "\n\n" + section
+    else:
+        txt = txt.rstrip() + "\n\n" + section
+    baseline.write_text(txt)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Output sinks: robot/human report formats + keep-canonical policy
+(mirrors t/008_output_robot.t / t/009_output_human.t goldens)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from app_dupfind_spark.operators.exact import (
+    exact_dup_cascade,
+    clusters_from_digests,
+    exact_dup_clusters,
+)
+from app_dupfind_spark.operators.report import (
+    dup_summary,
+    human_report_lines,
+    keep_canonical,
+    robot_report,
+)
+
+
+def _clusters(spark, pages, cfg):
+    return clusters_from_digests(exact_dup_cascade(pages, cfg), "url")
+
+
+def test_robot_format_tab_joined_sorted(spark, pages, corpus, cfg):
+    rep = robot_report(_clusters(spark, pages, cfg), "url").collect()
+    assert rep  # 6 exact clusters incl. the empty-doc cluster
+    for r in rep:
+        members = r["members"].split("\t")
+        assert members == sorted(members)
+        assert members[0] == r["cluster_id"]
+        assert r["n_members"] == len(members) >= 2
+
+
+def test_human_format_header_and_indent(spark, pages, cfg):
+    lines = human_report_lines(_clusters(spark, pages, cfg), "url")
+    assert lines[0].startswith("DUPLICATES (digest: ")
+    assert "| size: " in lines[0]
+    assert lines[1].startswith("    ")
+    # clusters emitted in min-member order (ref Common.pm:248-251)
+    headers = [i for i, l in enumerate(lines) if l.startswith("DUPLICATES")]
+    firsts = [lines[i + 1].strip() for i in headers]
+    assert firsts == sorted(firsts)
+
+
+def test_keep_canonical_drops_exactly_the_losers(spark, pages, corpus, cfg):
+    clusters = exact_dup_clusters(pages, cfg)
+    kept = keep_canonical(pages, clusters, "url")
+    n_losers = clusters.where(~F.col("is_canonical")).count()
+    assert kept.count() == len(corpus.rows) - n_losers
+    # every cluster still has exactly its canonical member present
+    canon = {r["url"] for r in clusters.where("is_canonical").collect()}
+    kept_urls = {r["url"] for r in kept.select("url").collect()}
+    assert canon <= kept_urls
+
+
+def test_dup_summary_counters(spark, pages, corpus, cfg):
+    clusters = exact_dup_clusters(pages, cfg)
+    row = dup_summary(clusters).collect()[0]
+    # fixture ground truth: clusters [3,5,4,4,2] + empty-doc cluster of 3
+    assert row["n_docs"] == 3 + 5 + 4 + 4 + 2 + 3
+    assert row["n_clusters"] == 6
+    assert row["n_removable"] == row["n_docs"] - row["n_clusters"]
