@@ -50,17 +50,33 @@ def having_at_least(df: DataFrame, keys: list[str | Column], n: int = 2) -> Data
     applied after every stage (ref Common.pm:63-65, 196-198;
     Guts.pm:145-147; MapReduce.pm:70-73).
 
-    Implemented as a count window over the group key: one shuffle, no
-    join back.  Null-safe: NULL probe keys group together and survive
-    (the reference retains probe-failed files as potential dups,
+    Implementation: groupBy-count (map-side partial aggregation makes
+    the count itself skew-immune — each input partition contributes at
+    most one row per key) + left-semi join back.  A count WINDOW would
+    be one shuffle cheaper but funnels every row of a hot key through
+    one partition with no mitigation; the shuffled semi-join is
+    AQE-skew-splittable, which is what survives a 10^12-row size group.
+    Null-safe: NULL probe keys group together and survive (the
+    reference retains probe-failed files as potential dups,
     Guts.pm:137,158 — recall-preserving failure mode).
     """
-    w = Window.partitionBy(*keys)
-    return (
-        df.withColumn("__grp_n", F.count(F.lit(1)).over(w))
+    key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    names = [f"__k{i}" for i in range(len(key_cols))]
+    keyed = df.withColumns(dict(zip(names, key_cols)))
+    survivors = (
+        keyed.groupBy(*names)
+        .agg(F.count(F.lit(1)).alias("__grp_n"))
         .where(F.col("__grp_n") >= n)
-        .drop("__grp_n")
+        .select(*[F.col(m).alias(f"{m}_s") for m in names])
     )
+    # eqNullSafe: NULL keys are a real group (P4) and must survive the
+    # join back — plain equi-join semantics would silently drop them
+    cond = None
+    for m in names:
+        c = keyed[m].eqNullSafe(survivors[f"{m}_s"])
+        cond = c if cond is None else (cond & c)
+    out = keyed.join(survivors, on=cond, how="left_semi")
+    return out.drop(*names)
 
 
 def weed_key(cfg: DedupConfig, text_col: str = "text") -> Column:

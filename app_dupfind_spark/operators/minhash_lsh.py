@@ -125,11 +125,38 @@ def candidate_pairs(
         .agg(F.first("bucket_size").alias("bucket_size"))
     )
 
-    a = member.select("band", "band_hash", F.col(id_col).alias("a"))
-    b = member.select("band", "band_hash", F.col(id_col).alias("b"))
+    # SALTED bucket self-join (north_rule): each member gets a salt
+    # g = xxhash64(id) mod G; the left side is replicated to every
+    # block g' >= g, and the join key includes the block — one bucket's
+    # quadratic pair enumeration spreads over G(G+1)/2 independent
+    # tasks instead of one straggler (the reference's one-group-per-
+    # work-item pitfall, MapReduce.pm:122-125).  Every unordered pair
+    # is produced exactly once after the a < b filter.
+    G = max(1, cfg.salt_buckets)
+    salted = member.withColumn(
+        "g", F.pmod(F.xxhash64(F.col(id_col)), F.lit(G)).cast("int")
+    )
+    a = salted.select(
+        "band",
+        "band_hash",
+        F.col(id_col).alias("a"),
+        F.explode(F.sequence(F.col("g"), F.lit(G - 1))).alias("blk"),
+    )
+    b = salted.select(
+        "band", "band_hash", F.col(id_col).alias("b"), F.col("g").alias("blk")
+    )
+    # normalize to unordered (least, greatest) — the pair surfaces from
+    # whichever side's salt is smaller, in either id order — and dedup
+    # per band (same-salt pairs appear twice per band)
     pairs = (
-        a.join(b, ["band", "band_hash"])
-        .where(F.col("a") < F.col("b"))
+        a.join(b, ["band", "band_hash", "blk"])
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "band",
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+        )
+        .dropDuplicates(["a", "b", "band"])
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
