@@ -69,20 +69,31 @@ def shingle_hashes(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: F.xxhash64(s))
 
 
-def fast_shingle_hashes(tok: Column, k: int) -> Column:
+def token_hashes(col: Column) -> Column:
+    """xxhash64 of every whitespace token of the normalized text."""
+    return F.transform(tokens(col), lambda t: F.xxhash64(t))
+
+
+def window_hashes(tok_h: Column, k: int) -> Column:
     """Distinct 64-bit k-shingle hashes WITHOUT materializing window
-    strings: hash each token once, then hash length-k slices of the
-    token-hash array (xxhash64 accepts arrays).  Equal windows <=> equal
-    hashes, which is all the signature stages need; skips building
-    ~30-byte strings per window — the dominant cost of the naive
-    shingle pipeline at scale."""
-    tok_h = F.transform(tok, lambda t: F.xxhash64(t))
+    strings or per-window arrays: xxhash64 over k scalar element_at
+    reads of the token-hash array.  Equal windows <=> equal hashes,
+    which is all the signature stages need.
+
+    PERF CONTRACT: `tok_h` must be a BOUND COLUMN (projected in a
+    separate select), not an inline expression — higher-order-function
+    bodies are interpreted, so an inline token-hash expression would be
+    re-evaluated per element_at reference (measured 50x slower).  The
+    per-window xxhash64(e1..ek) form exists for the same reason: the
+    slice-based form allocates an array per window (measured 10x
+    slower)."""
     n = F.size(tok_h)
+
+    def win(i):
+        return F.xxhash64(*[F.element_at(tok_h, i + j) for j in range(1, k + 1)])
+
     return F.when(n >= k, F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.xxhash64(F.slice(tok_h, i + 1, k)),
-        )
+        F.transform(F.sequence(F.lit(0), n - k), win)
     )).otherwise(F.array().cast("array<long>"))
 
 

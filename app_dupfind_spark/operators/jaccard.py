@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from app_dupfind_spark.functions.text import fast_shingle_hashes, tokens
+from app_dupfind_spark.functions.text import token_hashes, window_hashes
 
 
 def doc_shingles(
@@ -39,8 +39,10 @@ def doc_shingles(
     longs is markedly faster (collisions at 2^64 are immaterial next to
     the MinHash approximation downstream)."""
     sh = df.select(
+        F.col(id_col), token_hashes(F.col(text_col)).alias("__th")
+    ).select(
         F.col(id_col),
-        fast_shingle_hashes(tokens(F.col(text_col)), k).alias("shingles"),
+        window_hashes(F.col("__th"), k).alias("shingles"),
     ).where(F.size("shingles") > 0)
     return sh.select(
         id_col,

@@ -37,7 +37,7 @@ from app_dupfind_spark.functions.hashing import (
     make_minhash_udf,
     make_simhash_udf,
 )
-from app_dupfind_spark.functions.text import fast_shingle_hashes, tokens
+from app_dupfind_spark.functions.text import token_hashes, window_hashes
 
 
 def signatures(
@@ -60,11 +60,13 @@ def signatures(
     # shuffle moves only (id, text).
     df = df.repartition(cfg.shuffle_partitions, id_col)
     minhash_udf = make_minhash_udf(cfg)
+    # two-step projection: token hashes bound as a real column FIRST,
+    # windows second (see window_hashes PERF CONTRACT)
     hashed = df.select(
-        F.col(id_col),
-        fast_shingle_hashes(tokens(F.col(text_col)), cfg.shingle_k).alias(
-            "sh_hashes"
-        ),
+        F.col(id_col), token_hashes(F.col(text_col)).alias("__th")
+    ).select(
+        id_col,
+        window_hashes(F.col("__th"), cfg.shingle_k).alias("sh_hashes"),
     )
     out = hashed.select(
         id_col,

@@ -59,6 +59,10 @@ def human_report_lines(
         .orderBy("cluster_id")
         .collect()
     )
+    if not rows:
+        # reference parity: App.pm prints this and exits early whenever
+        # a stage empties the candidate set (Q1, App.pm:268-319)
+        return ["NO DUPLICATES FOUND"]
     out = []
     for r in rows:
         out.append(f"DUPLICATES (digest: {r['digest']:x} | size: {r['size']}b)")

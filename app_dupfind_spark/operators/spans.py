@@ -34,7 +34,7 @@ from pyspark.sql.types import (
 )
 
 from app_dupfind_spark.config import DedupConfig
-from app_dupfind_spark.functions.text import tokens
+from app_dupfind_spark.functions.text import token_hashes, window_hashes
 
 
 def span_candidates(
@@ -57,25 +57,19 @@ def span_candidates(
     Boilerplate guard: shingles present in > max_shingle_df docs are
     dropped (a 20-word run shared by hundreds of docs is template text).
     """
-    # windows are hashed as SLICES OF THE TOKEN-HASH ARRAY (xxhash64
-    # accepts arrays) — never materializing the ~120-char window string;
-    # equal windows <=> equal hashes, which is all candidate generation
-    # needs, at a fraction of the string-building cost
+    # windows hashed over the token-hash array via scalar element_at
+    # reads (see functions.text.window_hashes PERF CONTRACT) — never
+    # materializing window strings or per-window arrays
     w = cfg.span_shingle_words
-    tok_h = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
-    windows = F.when(
-        F.size(tok_h) >= w,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tok_h) - w),
-            lambda i: F.xxhash64(F.slice(tok_h, i + 1, w)),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
     sh = df.select(
-        F.col(id_col).alias("id"), F.explode(windows).alias("sh")
+        F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("__th")
+    ).select(
+        "id", F.explode(window_hashes(F.col("__th"), w)).alias("sh")
     )
     if cfg.span_sample_mod > 1:
         sh = sh.where(F.pmod(F.col("sh"), F.lit(cfg.span_sample_mod)) == 0)
-    sh = sh.distinct()
+    # (window_hashes is array_distinct per doc — rows arrive unique,
+    # no extra distinct shuffle needed)
     dfreq = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from app_dupfind_spark.config import MINHASH_PRIME, DedupConfig
 from app_dupfind_spark.functions.hashing import _minhash_params
-from app_dupfind_spark.functions.text import fast_shingle_hashes, tokens, word_shingles
+from app_dupfind_spark.functions.text import token_hashes, tokens, window_hashes, word_shingles
 from app_dupfind_spark.operators.minhash_lsh import candidate_pairs, signatures
 from app_dupfind_spark.operators.verify import attach_signatures, verify_pairs
 
@@ -24,8 +24,10 @@ def test_minhash_udf_matches_numpy_oracle(spark, pages, cfg):
     """The UDF's signature must equal an independent numpy computation
     over the same JVM-produced shingle hashes."""
     hashed = pages.limit(20).select(
+        "url", token_hashes(F.col("text")).alias("__th")
+    ).select(
         "url",
-        fast_shingle_hashes(tokens(F.col("text")), cfg.shingle_k).alias("h"),
+        window_hashes(F.col("__th"), cfg.shingle_k).alias("h"),
     )
     sigs = signatures(pages.limit(20), cfg, "url", "text")
     h_map = {r["url"]: r["h"] for r in hashed.collect()}
