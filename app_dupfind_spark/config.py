@@ -78,8 +78,11 @@ class DedupConfig:
     # min_span_chars span guarantees shared span_shingle_words-grams
     span_shingle_words: int = 20
     # mod-sampling of span shingle hashes (1 = keep all; s>1 keeps
-    # hash%s==0 — winnowing-style thinning for web scale)
-    span_sample_mod: int = 1
+    # hash%s==0 — winnowing-style thinning).  Default 2: a
+    # min_span_chars span covers >=21 windows, so the miss probability
+    # is 2^-21 (~5e-7) while the span index — the pipeline's largest
+    # shuffle — halves.
+    span_sample_mod: int = 2
     span_enabled: bool = True
 
     # --- execution ---

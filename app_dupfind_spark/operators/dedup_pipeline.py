@@ -67,6 +67,7 @@ def near_dup_pipeline(
     id_col: str = "url",
     text_col: str = "text",
     order_col: str = "warc_ts",
+    persist_mode: str = "parquet",
 ) -> tuple[DataFrame, PipelineRunner]:
     """Run (or resume) the full pipeline; returns (clusters, runner).
 
@@ -74,7 +75,7 @@ def near_dup_pipeline(
     canon stage; only (id, text) reach the cascade, only (id, hashes)
     cross into Python.
     """
-    runner = PipelineRunner(spark, cfg, checkpoint_dir)
+    runner = PipelineRunner(spark, cfg, checkpoint_dir, persist_mode=persist_mode)
 
     canon = runner.run_stage(
         "canon",

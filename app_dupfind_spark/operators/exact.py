@@ -118,27 +118,44 @@ def exact_dup_cascade(
     digest group — the relational "master dupes hash" after the digest
     stage (Common.pm:187-198).
     """
-    sized = with_size(
-        df.select(id_col, text_col).where(F.col(text_col).isNotNull()), text_col
-    ).where(F.col("size") <= cfg.max_chars)
+    # ALL text-derived keys are projected in ONE pass over the scan and
+    # the text column is DROPPED before any shuffle: the cascade's
+    # staged HAVINGs then move (id, size, probe, digest) — ~30 bytes —
+    # instead of whole documents.  The reference staged probe-then-
+    # digest to avoid READING files it could prune (Guts.pm:218-222);
+    # with text already columnar, xxhash64 costs ~nothing relative to
+    # shuffling text, so computing every key upfront and pruning on
+    # skinny rows is the scale-correct inversion of the same idea.
+    # The logical cascade (size -> weed -> digest, P2 after each) is
+    # unchanged — only the projection point moved.
+    base = df.select(id_col, text_col).where(F.col(text_col).isNotNull())
+    base = with_size(base, text_col).where(F.col("size") <= cfg.max_chars)
+    probe = (
+        weed_key(cfg, text_col)
+        if (cfg.weed_enabled and cfg.weed_passes)
+        else F.lit(None).cast("string")
+    )
+    skinny = base.select(
+        F.col(id_col),
+        F.col("size"),
+        probe.alias("__probe"),
+        text_digest(text_col).alias("digest"),
+    )
 
     # Stage 1: same-size candidates (A1 + P2).
-    survivors = having_at_least(sized, ["size"])
+    survivors = having_at_least(skinny, ["size"])
 
     # Stage 2: weed passes (A2 + P2), zero-size bypass (P3): size-0 rows
     # skip probing (their samples are undefined in the reference,
     # Common.pm:100,107) and ride straight to the digest stage.
     if cfg.weed_enabled and cfg.weed_passes:
         zero = survivors.where(F.col("size") == 0)
-        nonzero = survivors.where(F.col("size") > 0).withColumn(
-            "__probe", weed_key(cfg, text_col)
-        )
-        weeded = having_at_least(nonzero, ["size", "__probe"]).drop("__probe")
+        nonzero = survivors.where(F.col("size") > 0)
+        weeded = having_at_least(nonzero, ["size", "__probe"])
         survivors = weeded.unionByName(zero)
 
     # Stage 3: global digest grouping (A3 + P2).
-    digested = survivors.withColumn("digest", text_digest(text_col))
-    dup_members = having_at_least(digested, ["digest"])
+    dup_members = having_at_least(survivors, ["digest"])
     return dup_members.select(id_col, "size", "digest")
 
 

@@ -53,12 +53,14 @@ def signatures(
     and ride the exact-only path (the reference's zero-size bypass
     precedent, Common.pm:100,107).
     """
-    # Explicit repartition: checkpointed/small upstream outputs often
+    # Parallelism guard: checkpointed/small upstream outputs often
     # arrive as 1-2 partitions (files pack below maxPartitionBytes), and
-    # the Arrow/pandas stage would then run on one core.  Hash-partition
-    # by id so signature compute uses the whole executor pool — the
-    # shuffle moves only (id, text).
-    df = df.repartition(cfg.shuffle_partitions, id_col)
+    # the Arrow/pandas stage would then run on one core.  Repartition
+    # ONLY when the input is under-partitioned — when the upstream
+    # already fans wide (always true at real scale) the extra shuffle
+    # of (id, text) is pure waste.
+    if df.rdd.getNumPartitions() < max(2, cfg.shuffle_partitions // 2):
+        df = df.repartition(cfg.shuffle_partitions, id_col)
     minhash_udf = make_minhash_udf(cfg)
     # two-step projection: token hashes bound as a real column FIRST,
     # windows second (see window_hashes PERF CONTRACT)
@@ -117,7 +119,7 @@ def candidate_pairs(
     sized = buckets.withColumn("bucket_size", F.count(F.lit(1)).over(w))
     member = sized.where(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.lsh_bucket_cap)
-    ).select("band", "band_hash", id_col)
+    ).select("band", "band_hash", id_col, "bucket_size")
     if materialize:
         member = member.localCheckpoint(eager=True)
 
@@ -127,22 +129,29 @@ def candidate_pairs(
         .agg(F.first("bucket_size").alias("bucket_size"))
     )
 
-    # SALTED bucket self-join (north_rule): each member gets a salt
-    # g = xxhash64(id) mod G; the left side is replicated to every
-    # block g' >= g, and the join key includes the block — one bucket's
-    # quadratic pair enumeration spreads over G(G+1)/2 independent
-    # tasks instead of one straggler (the reference's one-group-per-
-    # work-item pitfall, MapReduce.pm:122-125).  Every unordered pair
-    # is produced exactly once after the a < b filter.
-    G = max(1, cfg.salt_buckets)
-    salted = member.withColumn(
-        "g", F.pmod(F.xxhash64(F.col(id_col)), F.lit(G)).cast("int")
+    # SALTED bucket self-join (north_rule), ADAPTIVE: each member gets
+    # a salt g = xxhash64(id) mod G_b where G_b grows with ITS bucket's
+    # size (1 for ordinary buckets — zero replication overhead — up to
+    # cfg.salt_buckets for buckets near the cap).  The left side is
+    # replicated to every block g' >= g and the join key includes the
+    # block, so one big bucket's quadratic pair enumeration spreads
+    # over G_b(G_b+1)/2 independent tasks instead of one straggler
+    # (the reference's one-group-per-work-item pitfall,
+    # MapReduce.pm:122-125).  Typical dup buckets (2-5 docs) pay
+    # nothing; only genuinely hot buckets fan out.
+    Gmax = max(1, cfg.salt_buckets)
+    g_b = F.least(
+        F.greatest((F.col("bucket_size") / 256).cast("int"), F.lit(1)),
+        F.lit(Gmax),
+    )
+    salted = member.withColumn("G", g_b).withColumn(
+        "g", F.pmod(F.xxhash64(F.col(id_col)), F.col("G")).cast("int")
     )
     a = salted.select(
         "band",
         "band_hash",
         F.col(id_col).alias("a"),
-        F.explode(F.sequence(F.col("g"), F.lit(G - 1))).alias("blk"),
+        F.explode(F.sequence(F.col("g"), F.col("G") - 1)).alias("blk"),
     )
     b = salted.select(
         "band", "band_hash", F.col(id_col).alias("b"), F.col("g").alias("blk")

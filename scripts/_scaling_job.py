@@ -2,7 +2,10 @@
 pre-generated pages parquet at a given parallelism, print JSON.
 
 Invoked by scripts/scaling_bench.py in a fresh JVM per level.
-Usage: _scaling_job.py <pages_parquet> <cpus>
+Usage: _scaling_job.py <pages_parquet> <cpus> [persist_mode]
+  persist_mode: parquet (durable checkpoints, default) | memory
+  (localCheckpoint — isolates executor scaling from the sandbox's
+  single-disk checkpoint I/O)
 """
 
 from __future__ import annotations
@@ -23,6 +26,7 @@ from app_dupfind_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     pages_path, cpus = sys.argv[1], int(sys.argv[2])
+    persist_mode = sys.argv[3] if len(sys.argv) > 3 else "parquet"
     spark = get_spark(
         app_name=f"scaling-{cpus}",
         master=f"local[{cpus}]",
@@ -42,13 +46,15 @@ def main() -> None:
 
     t0 = time.time()
     clusters, _ = near_dup_pipeline(
-        spark, pages, DedupConfig(), tempfile.mkdtemp(prefix=f"scal{cpus}_")
+        spark, pages, DedupConfig(), tempfile.mkdtemp(prefix=f"scal{cpus}_"),
+        persist_mode=persist_mode,
     )
     n_out = clusters.count()
     dt = time.time() - t0
     print(json.dumps({
         "cpus": cpus, "n_docs": n_docs, "rows_out": n_out,
         "sec": round(dt, 3), "docs_per_sec": round(n_docs / dt, 1),
+        "persist_mode": persist_mode,
     }))
     spark.stop()
 
