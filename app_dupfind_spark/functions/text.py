@@ -130,9 +130,14 @@ def lang_id(col: Column) -> Column:
     return F.when(best_score > 0, result).otherwise(F.lit("und"))
 
 
-def quality_features(col: Column) -> dict[str, Column]:
-    """Deterministic quality signals (CCNet/Gopher-style cheap filters)."""
-    tok = tokens(col)
+def quality_features(col: Column, tok: Column | None = None) -> dict[str, Column]:
+    """Deterministic quality signals (CCNet/Gopher-style cheap filters).
+
+    Pass `tok` as a BOUND column (projected in a prior select) when
+    computing several features at once: HOF-bearing projections are
+    interpreted without common-subexpression elimination, so the
+    inline `tokens(col)` would be re-evaluated once per feature."""
+    tok = tokens(col) if tok is None else tok
     n_tok = F.size(tok)
     n_chars = F.length(col)
     safe_tok = F.greatest(n_tok, F.lit(1))
@@ -159,11 +164,11 @@ def quality_features(col: Column) -> dict[str, Column]:
     }
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, tok: Column | None = None) -> Column:
     """Single [0,1] quality score from the features: rewards mid-length
     docs with low punct/digit density and a sane stopword ratio.
     Weights pinned; rounded to 6dp for cross-engine determinism."""
-    f = quality_features(col)
+    f = quality_features(col, tok)
     length_term = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
     return F.round(
         F.lit(0.4) * length_term

@@ -21,7 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from app_dupfind_spark.functions.text import token_hashes, window_hashes
@@ -38,17 +38,26 @@ def doc_shingles(
     scale the shingle column dominates shuffle volume, and hash-join on
     longs is markedly faster (collisions at 2^64 are immaterial next to
     the MinHash approximation downstream)."""
-    sh = df.select(
+    # parallelism guard: a small parquet input arrives as one partition
+    # and the interpreted window-hash work would run on one core
+    min_p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, min_p // 2):
+        df = df.repartition(min_p, id_col)
+    # the window array is referenced exactly ONCE (inside explode) —
+    # size()/where() references would re-evaluate the interpreted
+    # window expression per reference; n_shingles comes from a count
+    # window over the exploded rows instead (already hash-partitioned
+    # by id, so no extra exchange)
+    exploded = df.select(
         F.col(id_col), token_hashes(F.col(text_col)).alias("__th")
     ).select(
         F.col(id_col),
-        window_hashes(F.col("__th"), k).alias("shingles"),
-    ).where(F.size("shingles") > 0)
-    return sh.select(
-        id_col,
-        F.size("shingles").alias("n_shingles"),
-        F.explode("shingles").alias("shingle"),
+        F.explode(window_hashes(F.col("__th"), k)).alias("shingle"),
     )
+    w = Window.partitionBy(id_col)
+    return exploded.withColumn(
+        "n_shingles", F.count(F.lit(1)).over(w).cast("int")
+    ).select(id_col, "n_shingles", "shingle")
 
 
 def jaccard_pairs(
@@ -58,12 +67,18 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """All unordered pairs (a < b) with exact shingle-Jaccard >= threshold.
 
     Returns (a, b, n_common, n_a, n_b, jaccard).
     """
     exploded = doc_shingles(df, k, id_col, text_col)
+    if materialize:
+        # the index fans out three ways (document frequency + both join
+        # sides); materialize once so the shingle computation doesn't
+        # re-run per branch
+        exploded = exploded.localCheckpoint(eager=True)
 
     # document frequency per shingle; singleton shingles can't pair
     dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))

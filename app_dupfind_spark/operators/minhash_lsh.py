@@ -113,6 +113,12 @@ def candidate_pairs(
     use.)  AQE's skew-join splitting handles residual imbalance above
     the explicit bucket cap.
     """
+    if materialize:
+        # bind the UDF-produced signature column behind a barrier: the
+        # band explode references it once per band and measured a 30x
+        # re-evaluation penalty when fed the raw UDF plan (pipeline
+        # callers read sigs from a checkpoint and skip this)
+        sigs = sigs.localCheckpoint(eager=True)
     buckets = band_buckets(sigs, cfg, id_col)
 
     w = Window.partitionBy("band", "band_hash")

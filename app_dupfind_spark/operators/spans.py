@@ -61,6 +61,11 @@ def span_candidates(
     # reads (see functions.text.window_hashes PERF CONTRACT) — never
     # materializing window strings or per-window arrays
     w = cfg.span_shingle_words
+    # parallelism guard (small inputs arrive single-partition and the
+    # interpreted window work would serialize)
+    min_p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, min_p // 2):
+        df = df.repartition(min_p, id_col)
     sh = df.select(
         F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("__th")
     ).select(
@@ -69,7 +74,9 @@ def span_candidates(
     if cfg.span_sample_mod > 1:
         sh = sh.where(F.pmod(F.col("sh"), F.lit(cfg.span_sample_mod)) == 0)
     # (window_hashes is array_distinct per doc — rows arrive unique,
-    # no extra distinct shuffle needed)
+    # no extra distinct shuffle needed.)  The index fans out three ways
+    # (dfreq + both self-join sides): materialize once.
+    sh = sh.localCheckpoint(eager=True)
     dfreq = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -201,12 +201,17 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_quality_scores(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    feats = T.quality_features(F.col("text"))
+    # tokens bound once; every feature references the materialized
+    # column instead of re-tokenizing (HOF projections get no CSE)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text"), T.tokens(F.col("text")).alias("__tok")
+    )
+    tok = F.col("__tok")
+    feats = T.quality_features(F.col("text"), tok)
     return d.select(
         "doc_id",
         *[c.alias(n) for n, c in feats.items()],
-        T.quality_score(F.col("text")).alias("quality"),
+        T.quality_score(F.col("text"), tok).alias("quality"),
     )
 
 

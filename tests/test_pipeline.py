@@ -107,6 +107,29 @@ def test_manifest_has_partition_lineage(result):
     assert sum(p["rows"] for p in m["partitions"]) == m["rows"]
 
 
+def test_partial_resume_recomputes_only_downstream(spark, pages, tmp_path):
+    """Kill-and-resume at a stage boundary (SURVEY §5 item 5): wiping
+    one mid-pipeline checkpoint replays that stage and everything
+    downstream of it, resumes everything upstream, and yields identical
+    clusters."""
+    import shutil
+
+    ckpt = tmp_path / "ck_partial"
+    clusters1, _ = near_dup_pipeline(spark, pages, DedupConfig(), str(ckpt))
+    rows1 = sorted((r["url"], r["cluster_id"]) for r in clusters1.collect())
+
+    shutil.rmtree(ckpt / "cands")  # simulate a crash that lost a stage
+    clusters2, runner2 = near_dup_pipeline(spark, pages, DedupConfig(), str(ckpt))
+    status = {m["stage"]: m["resumed"] for m in runner2.metrics}
+    assert status["canon"] and status["exact"] and status["sigs"]
+    assert not status["cands"]
+    # downstream stages see an unchanged upstream fingerprint (the
+    # recomputed stage is deterministic: same config, same upstream,
+    # same row count) and may legitimately resume
+    rows2 = sorted((r["url"], r["cluster_id"]) for r in clusters2.collect())
+    assert rows1 == rows2
+
+
 def test_duplicate_url_canonicalization(spark, tmp_path):
     """A5: re-crawled urls collapse to the earliest warc_ts row before
     dedup proper (the 'already-deduplicated storage' semantics)."""
