@@ -84,6 +84,18 @@ class DedupConfig:
     # shuffle — halves.
     span_sample_mod: int = 2
     span_enabled: bool = True
+    # single text cap shared by the span index AND the LCS kernel —
+    # both sides see the same prefix, so the stage is self-consistent
+    # (spans past the cap are out of contract, documented in spans.py)
+    span_max_chars: int = 20_000
+
+    # --- near-dup verification mode ---
+    # "exact":    gate LSH candidates on EXACT shingle-Jaccard >= tau
+    #             (pair-targeted inverted-index count — cost linear in
+    #             candidates).  Deterministic truth, no estimator noise.
+    # "estimate": gate on MinHash-estimated Jaccard OR the SimHash
+    #             Hamming gate (cheapest: no second touch of shingles).
+    verify_mode: str = "exact"
 
     # --- execution ---
     shuffle_partitions: int = 32
@@ -106,6 +118,10 @@ class DedupConfig:
             )
         if self.shingle_k < 1 or self.probe_width < 1:
             raise ValueError("shingle_k and probe_width must be >= 1")
+        if self.verify_mode not in ("exact", "estimate"):
+            raise ValueError(
+                f"verify_mode must be 'exact' or 'estimate', got {self.verify_mode!r}"
+            )
 
     def config_hash(self) -> str:
         """Stable hash of the config — stamped into checkpoint manifests

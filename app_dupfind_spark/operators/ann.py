@@ -1,6 +1,6 @@
 """Similarity search over embedding columns.
 
-Two paths, per the training-data-pipeline requirements:
+Three paths, per the training-data-pipeline requirements:
 
 1. `cosine_topk` — brute-force exact top-k of a (small, broadcast)
    query set against the corpus.  JVM-only math (zip_with/aggregate),
@@ -10,12 +10,28 @@ Two paths, per the training-data-pipeline requirements:
    and filters in-line... practically: |queries| must be small, that is
    the contract of the brute-force baseline).
 
-2. `lsh_bucketed_neighbors` — the scale path: random-hyperplane (sign)
-   LSH code per vector via a seeded pandas UDF, candidates restricted
-   to same-bucket vectors (optionally multi-probe over all single-bit
-   flips), exact cosine re-rank within buckets.  At 100 TB the bucket
-   join replaces the cross product; bucket skew is bounded because the
-   code length is chosen so E[bucket] = n / 2^bits.
+2. `embedding_near_dup_pairs` — EXACT all-pairs cosine join.  All-pairs
+   is inherently O(n²) compute; the scale question is only how that
+   work is laid out.  With `n_blocks=B` the rows are hashed into B
+   blocks and the join runs over the B(B+1)/2 block pairs as an
+   equi-join on the target block — every task gets an equal (n/B)²
+   chunk, nothing is broadcast, no single straggler task holds the
+   whole cartesian (the plan the naive crossJoin degenerates into).
+   Use this for exact small/medium-n verification; at web scale the
+   exact all-pairs is the oracle baseline, not the production path.
+
+3. `banded_lsh_neighbors` — the scale path: banded random-hyperplane
+   (sign) LSH.  Each vector gets `bands` codes of `rows_per_band` sign
+   bits; two vectors are candidates if they share any band's bucket
+   (multi-probe optionally also probes all single-bit flips of each
+   band code).  Candidates are exact-cosine re-ranked within buckets,
+   so precision is exact and only recall is approximate — the same
+   shape as the MinHash/LSH text path (operators/minhash_lsh.py).
+   Buckets above `bucket_cap` are dropped from pair generation and
+   REPORTED (skew report), mirroring minhash_lsh.py:118-160: a
+   mega-bucket at web scale is a degenerate direction (zero vectors,
+   boilerplate embeddings) and m² pair explosion from one key is the
+   classic straggler.
 """
 
 from __future__ import annotations
@@ -24,7 +40,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 from app_dupfind_spark.functions.vectors import as_double_array, dot, l2_norm
 
@@ -78,75 +94,197 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """All unordered pairs (a < b) with cosine >= threshold.
+    """All unordered pairs (a < b) with cosine >= threshold — EXACT.
 
-    Without `block_col` this is the exact O(n^2) self-join — correct
-    baseline, only for corpora small enough to broadcast one side.  At
-    scale, pass a blocking column (e.g. the LSH code from
-    `make_hyperplane_lsh_udf`) so the join is equi-keyed."""
+    Layout options (mutually exclusive):
+    - `block_col`: a user-supplied equi-key (e.g. an LSH bucket) — the
+      join only compares same-key rows (approximate completeness,
+      exact values).
+    - `n_blocks=B`: exact-complete blocked cartesian.  Rows are hashed
+      into B blocks; the left side explodes to every target block
+      j >= own block, the right side keys on its own block, and the
+      equi-join on j covers each unordered block pair exactly once.
+      Work per task is (n/B)², replication factor ~B/2 on one side —
+      pick B ≈ sqrt(cluster cores) so tasks saturate the cluster with
+      bounded memory.  AQE skew-split further divides residual
+      imbalance.
+    - neither: plain crossJoin — ONLY for oracle-sized inputs.
+    """
     base = df.select(
         F.col(id_col).alias("id"),
         as_double_array(F.col(vec_col)).alias("v"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        *([F.col(block_col).alias("blk")] if block_col else []),
     ).withColumn("n", l2_norm(F.col("v")))  # norm once per row, pre-join
-    a = base.select(
-        F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"),
-        *( [F.col("blk")] if block_col else [] ),
-    )
-    b = base.select(
-        F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"),
-        *( [F.col("blk")] if block_col else [] ),
-    )
-    joined = a.join(b, on=["blk"], how="inner") if block_col else a.crossJoin(b)
+
+    if block_col is not None:
+        a = base.select(
+            F.col("id").alias("a"), F.col("v").alias("va"),
+            F.col("n").alias("na"), "blk",
+        )
+        b = base.select(
+            F.col("id").alias("b"), F.col("v").alias("vb"),
+            F.col("n").alias("nb"), "blk",
+        )
+        joined = a.join(b, "blk").where(F.col("a") < F.col("b"))
+    elif n_blocks and n_blocks > 1:
+        B = int(n_blocks)
+        blocked = base.withColumn(
+            "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int")
+        )
+        a = blocked.select(
+            F.col("id").alias("a"), F.col("v").alias("va"),
+            F.col("n").alias("na"), F.col("blk").alias("blk_a"),
+            # left side participates in every block pair (blk, j>=blk)
+            F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("j"),
+        )
+        b = blocked.select(
+            F.col("id").alias("b"), F.col("v").alias("vb"),
+            F.col("n").alias("nb"), F.col("blk").alias("j"),
+        )
+        # each unordered pair meets exactly once: the smaller-block row
+        # is always the left role; same-block pairs dedup via id order
+        joined = a.join(b, "j").where(
+            (F.col("blk_a") < F.col("j")) | (F.col("a") < F.col("b"))
+        )
+    else:
+        a = base.select(
+            F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na")
+        )
+        b = base.select(
+            F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+        )
+        joined = a.crossJoin(b).where(F.col("a") < F.col("b"))
+
     return (
-        joined.where(F.col("a") < F.col("b"))
-        .withColumn(
+        joined.withColumn(
             "cos_sim",
             F.round(
                 dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
             ),
         )
         .where(F.col("cos_sim") >= threshold)
-        .select("a", "b", "cos_sim")
+        # cross-block pairs can surface with a > b; normalize
+        .select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            "cos_sim",
+        )
     )
 
 
-def make_hyperplane_lsh_udf(dim: int, bits: int, seed: int):
-    """pandas UDF: embedding -> sign-LSH code (long).  Hyperplanes drawn
-    once from a seeded Generator — deterministic across partitions."""
+def make_band_codes_udf(dim: int, bands: int, rows_per_band: int, seed: int):
+    """pandas UDF: embedding -> array of `bands` LSH band codes, each
+    packing `rows_per_band` hyperplane sign bits.  Hyperplanes drawn
+    once from a seeded Generator at definition time — deterministic
+    across partitions, task retries, and row order."""
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, bits))
+    planes = rng.standard_normal((dim, bands * rows_per_band))
+    r = rows_per_band
+    weights = 1 << np.arange(r, dtype=np.int64)
 
-    @F.pandas_udf(LongType())
-    def lsh_code(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())  # (batch, dim)
-        proj = mat.astype(np.float64) @ planes  # (batch, bits)
-        bitsm = (proj > 0).astype(np.uint64)
-        code = np.zeros(mat.shape[0], dtype=np.uint64)
-        for j in range(bits):
-            code |= bitsm[:, j] << np.uint64(j)
-        return pd.Series(code.astype(np.int64))
+    @F.pandas_udf(ArrayType(LongType()))
+    def band_codes(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        bits = (mat @ planes) > 0  # (batch, bands*r)
+        bb = bits.reshape(mat.shape[0], bands, r).astype(np.int64)
+        codes = (bb * weights[None, None, :]).sum(axis=2)  # (batch, bands)
+        return pd.Series(list(codes))
 
-    return lsh_code
+    return band_codes
 
 
-def lsh_bucketed_neighbors(
+def banded_lsh_neighbors(
     df: DataFrame,
     threshold: float,
-    bits: int = 8,
+    dim: int,
+    bands: int = 16,
+    rows_per_band: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
-) -> DataFrame:
-    """Scale path: near-dup pairs restricted to same-LSH-bucket vectors.
-    Approximate (recall < 1 across bucket boundaries); exact cosine
-    within buckets."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    code = make_hyperplane_lsh_udf(dim, bits, seed)
-    coded = df.withColumn("__bucket", code(F.col(vec_col)))
-    return embedding_near_dup_pairs(
-        coded, threshold, id_col=id_col, vec_col=vec_col, block_col="__bucket"
+    bucket_cap: int = 2000,
+    probe_bits: int = 0,
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Scale path: (near-dup pairs, skew report).
+
+    Pairs sharing any band bucket (optionally within `probe_bits`
+    bit-flips of one, multi-probe) are exact-cosine re-ranked; output
+    is (a, b, cos_sim) with cos_sim >= threshold, a < b.  `dim` is a
+    required parameter (array columns carry no length in the schema,
+    and probing a row for it would put a driver action inside operator
+    construction).
+
+    Recall calibration: a pair at cosine c shares a band with
+    probability p(c)^rows_per_band per band, p(c) = 1 - arccos(c)/pi;
+    identical directions (exact/scale duplicates) share every band
+    deterministically.  Pick bands/rows for the target recall at your
+    operating threshold; this is the documented approximation of the
+    production path (the exact verifier stays available above).
+    """
+    if dim is None or dim <= 0:
+        raise ValueError("dim must be provided (array schemas carry no length)")
+    codes = make_band_codes_udf(dim, bands, rows_per_band, seed)
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            as_double_array(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("n", l2_norm(F.col("v")))
+        .withColumn("codes", codes(F.col("v")))
     )
+    if materialize:
+        # the UDF lineage fans out three ways (both join sides of the
+        # bucket join + the re-rank vector lookup) — bind it once
+        base = base.localCheckpoint(eager=True)
+
+    memb = base.select("id", F.posexplode("codes").alias("band", "code"))
+
+    # bucket sizes from ONE count window; buckets above the cap are
+    # excluded from pair generation and surfaced in the skew report
+    w = Window.partitionBy("band", "code")
+    sized = memb.withColumn("bucket_size", F.count(F.lit(1)).over(w))
+    ok = sized.where(F.col("bucket_size") <= bucket_cap).select("id", "band", "code")
+    skew_report = (
+        sized.where(F.col("bucket_size") > bucket_cap)
+        .groupBy("band", "code")
+        .agg(F.first("bucket_size").alias("bucket_size"))
+    )
+
+    if probe_bits >= 1:
+        # multi-probe: the probe side also visits every single-bit flip
+        # of each band code — catches pairs whose codes differ by one
+        # plane per band (symmetric, so one-sided expansion suffices)
+        probe_codes = F.array(
+            F.col("code"),
+            *[F.col("code").bitwiseXOR(F.lit(1 << b)) for b in range(rows_per_band)],
+        )
+        probe = memb.select(
+            "id", "band", F.explode(probe_codes).alias("code")
+        )
+    else:
+        probe = memb
+
+    cand = (
+        probe.withColumnRenamed("id", "a")
+        .join(ok.withColumnRenamed("id", "b"), ["band", "code"])
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+
+    va = base.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    vb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    pairs = (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn(
+            "cos_sim",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .select("a", "b", "cos_sim")
+    )
+    return pairs, skew_report

@@ -8,18 +8,35 @@ Stage graph (SURVEY §3.4), each stage checkpointable via PipelineRunner:
     -> exact    size/weed/xxhash64 cascade -> exact dup members
     -> sigs     shingle -> MinHash + SimHash signatures
     -> cands    LSH band buckets -> candidate pairs (skew-capped)
-    -> verify   SimHash Hamming gate
+    -> verify   cfg.verify_mode: 'exact' = pair-targeted exact
+                shingle-Jaccard gate (deterministic truth, no estimator
+                noise at the threshold boundary); 'estimate' = MinHash
+                estimate OR SimHash Hamming gate (no second shingle
+                touch)
+    -> spans    (optional) long-shared-span pairs the whole-doc LSH
+                cannot see
     -> cc       large-star/small-star components over exact ∪ near edges
-    -> clusters (url, cluster_id, is_canonical, kind)
+    -> clusters (url, cluster_id, is_canonical)
 
 Exact dup groups enter CC as star edges (member -> digest-group min), so
 exact and near evidence merge into one equivalence relation — the
 reference's single final clustering (Common.pm:187) generalized.
+
+Q1 early-exit (App.pm:268,285,302,319: `say '** NO DUPLICATES FOUND'
+and exit`): a stage that empties its candidate set short-circuits its
+downstream — empty candidates skip verification, and an empty edge set
+skips connected components entirely (clusters degrade to all-singleton
+without scheduling CC jobs).  Unlike the exact-only reference, an empty
+EXACT dup set must NOT exit: the near-dup branch is independent.
+
+A6 run counters (App.pm:424-429 scan/size-dup/real-dup triplet): ride
+the stages' own actions via df.observe() — see runner.counters /
+counters_df(); no second pass over any stage input.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from app_dupfind_spark.config import DedupConfig
@@ -28,10 +45,11 @@ from app_dupfind_spark.operators.exact import (
     exact_dup_cascade,
     keep_first,
 )
+from app_dupfind_spark.operators.jaccard import exact_jaccard_for_pairs
 from app_dupfind_spark.operators.minhash_lsh import candidate_pairs, signatures
 from app_dupfind_spark.operators.spans import span_candidates, shared_span_pairs
 from app_dupfind_spark.operators.verify import attach_signatures, verify_pairs
-from app_dupfind_spark.plans.pipeline import PipelineRunner
+from app_dupfind_spark.plans.pipeline import PipelineRunner, input_fingerprint
 
 
 def exact_star_edges(dup_members: DataFrame, id_col: str = "url") -> DataFrame:
@@ -59,6 +77,28 @@ def assemble_clusters(
     ).withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
 
 
+def _exact_verify(
+    cands: DataFrame, docs: DataFrame, cfg: DedupConfig, id_col: str, text_col: str
+) -> DataFrame:
+    """verify_mode='exact': candidates gated on exact shingle-Jaccard
+    (pair-targeted inverted-index count, cost linear in candidates).
+    Output schema matches the estimate path; est_jaccard carries the
+    EXACT value here."""
+    jac = exact_jaccard_for_pairs(
+        cands.select("a", "b"), docs, cfg.shingle_k, id_col, text_col
+    )
+    return (
+        jac.where(F.col("jaccard") >= cfg.jaccard_threshold)
+        .select(
+            "a",
+            "b",
+            F.col("jaccard").alias("est_jaccard"),
+            F.lit(None).cast("int").alias("hamming"),
+            F.lit("jaccard").alias("method"),
+        )
+    )
+
+
 def near_dup_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -68,28 +108,44 @@ def near_dup_pipeline(
     text_col: str = "text",
     order_col: str = "warc_ts",
     persist_mode: str = "parquet",
+    source_fingerprint: str | None = None,
 ) -> tuple[DataFrame, PipelineRunner]:
     """Run (or resume) the full pipeline; returns (clusters, runner).
 
     Column pruning is explicit and early: html:binary never leaves the
     canon stage; only (id, text) reach the cascade, only (id, hashes)
     cross into Python.
+
+    `source_fingerprint` pins the INPUT identity into the resume chain
+    (pass an Iceberg snapshot id on a real cluster).  When omitted and
+    resuming durably, a content fingerprint (count + id-hash sum) is
+    computed in one column-pruned pass — re-pointing the same
+    checkpoint dir at a different input can never silently resume the
+    old corpus (the staleness hazard of count-only fingerprints).
     """
     runner = PipelineRunner(spark, cfg, checkpoint_dir, persist_mode=persist_mode)
 
+    if source_fingerprint is None and persist_mode == "parquet":
+        source_fingerprint = input_fingerprint(pages, id_col)
+
+    def _canon() -> DataFrame:
+        src = runner.observed(
+            pages.select(id_col, order_col, text_col), "canon", "rows_in"
+        )
+        return keep_first(src, [id_col], order_col, id_col).select(id_col, text_col)
+
     canon = runner.run_stage(
-        "canon",
-        lambda: keep_first(
-            pages.select(id_col, order_col, text_col), [id_col], order_col, id_col
-        ).select(id_col, text_col),
+        "canon", _canon, upstream_fingerprint=source_fingerprint or ""
     )
     fp = runner.fingerprint("canon")
 
-    exact = runner.run_stage(
-        "exact",
-        lambda: exact_dup_cascade(canon.df, cfg, id_col, text_col),
-        upstream_fingerprint=fp,
-    )
+    def _exact() -> DataFrame:
+        obs = {k: Observation() for k in ("scan", "size", "weed", "digest")}
+        for k, o in obs.items():
+            runner.track("exact", k, o)
+        return exact_dup_cascade(canon.df, cfg, id_col, text_col, counters=obs)
+
+    exact = runner.run_stage("exact", _exact, upstream_fingerprint=fp)
 
     # signatures are range-partitioned on the doc key before the
     # checkpoint write (north_rule): balanced files, and downstream
@@ -108,24 +164,43 @@ def near_dup_pipeline(
         upstream_fingerprint=runner.fingerprint("sigs"),
     )
 
-    verified = runner.run_stage(
-        "verify",
-        lambda: verify_pairs(
-            attach_signatures(cands.df, sigs.df, id_col), cfg
-        ),
-        upstream_fingerprint=runner.fingerprint("cands"),
-    )
+    # Q1: no candidates -> skip verification outright
+    if cands.rows == 0:
+        empty_verified = cands.df.select(
+            "a",
+            "b",
+            F.lit(None).cast("double").alias("est_jaccard"),
+            F.lit(None).cast("int").alias("hamming"),
+            F.lit(None).cast("string").alias("method"),
+        ).limit(0)
+        verified = runner.skip_stage(
+            "verify", empty_verified, "no candidate pairs",
+            upstream_fingerprint=runner.fingerprint("cands"),
+        )
+    else:
+        def _verify() -> DataFrame:
+            if cfg.verify_mode == "exact":
+                return _exact_verify(cands.df, canon.df, cfg, id_col, text_col)
+            return verify_pairs(
+                attach_signatures(cands.df, sigs.df, id_col), cfg
+            )
+
+        verified = runner.run_stage(
+            "verify", _verify, upstream_fingerprint=runner.fingerprint("cands")
+        )
 
     # Span stage (M5): long-shared-span pairs the whole-doc LSH cannot
     # see (Jaccard far below threshold but a >=min_span_chars verbatim
     # run).  Candidates from the long-shingle index minus pairs already
-    # verified; LCS gate in Arrow batches.
+    # verified; LCS gate in Arrow batches.  Independent of the LSH
+    # branch, so an empty candidate set above does NOT skip it.
     if cfg.span_enabled:
         def _spans() -> DataFrame:
             cand = span_candidates(canon.df, cfg, id_col, text_col)
             fresh = cand.join(verified.df.select("a", "b"), ["a", "b"], "left_anti")
             return shared_span_pairs(
-                fresh, canon.df, cfg.min_span_chars, id_col, text_col
+                fresh, canon.df, cfg.min_span_chars, id_col, text_col,
+                max_chars=cfg.span_max_chars,
             )
 
         spans = runner.run_stage(
@@ -134,23 +209,37 @@ def near_dup_pipeline(
             upstream_fingerprint=runner.fingerprint("verify"),
         )
         span_edges = spans.df.select("a", "b")
+        n_span_edges = spans.rows
     else:
         span_edges = None
+        n_span_edges = 0
 
-    def _cc() -> DataFrame:
-        near_edges = verified.df.select("a", "b")
-        ex_edges = exact_star_edges(exact.df, id_col)
-        edges = near_edges.unionByName(ex_edges)
-        if span_edges is not None:
-            edges = edges.unionByName(span_edges)
-        return connected_components(edges, cfg.cc_max_iterations)
+    # Q1: no edges at all -> skip CC, clusters are all singletons
+    if exact.rows == 0 and verified.rows == 0 and n_span_edges == 0:
+        empty_cc = canon.df.select(
+            F.col(id_col).alias("node"), F.col(id_col).alias("component")
+        ).limit(0)
+        cc = runner.skip_stage(
+            "cc", empty_cc, "no dup evidence (NO DUPLICATES FOUND)",
+            upstream_fingerprint=runner.fingerprint("verify")
+            + "|" + runner.fingerprint("exact")
+            + ("|" + runner.fingerprint("spans") if cfg.span_enabled else ""),
+        )
+    else:
+        def _cc() -> DataFrame:
+            near_edges = verified.df.select("a", "b")
+            ex_edges = exact_star_edges(exact.df, id_col)
+            edges = near_edges.unionByName(ex_edges)
+            if span_edges is not None:
+                edges = edges.unionByName(span_edges)
+            return connected_components(edges, cfg.cc_max_iterations)
 
-    cc = runner.run_stage(
-        "cc",
-        _cc,
-        upstream_fingerprint=runner.fingerprint("verify") + "|" + runner.fingerprint("exact")
-        + ("|" + runner.fingerprint("spans") if cfg.span_enabled else ""),
-    )
+        cc = runner.run_stage(
+            "cc",
+            _cc,
+            upstream_fingerprint=runner.fingerprint("verify") + "|" + runner.fingerprint("exact")
+            + ("|" + runner.fingerprint("spans") if cfg.span_enabled else ""),
+        )
 
     clusters = runner.run_stage(
         "clusters",

@@ -28,7 +28,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from app_dupfind_spark.config import DedupConfig
@@ -45,7 +45,13 @@ def with_size(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("size", F.length(F.col(text_col)).cast("long"))
 
 
-def having_at_least(df: DataFrame, keys: list[str | Column], n: int = 2) -> DataFrame:
+def having_at_least(
+    df: DataFrame,
+    keys: list[str | Column],
+    n: int = 2,
+    observation: Observation | None = None,
+    counter_prefix: str = "grp",
+) -> DataFrame:
     """P2: singleton-group elimination — THE load-bearing reduction,
     applied after every stage (ref Common.pm:63-65, 196-198;
     Guts.pm:145-147; MapReduce.pm:70-73).
@@ -59,6 +65,12 @@ def having_at_least(df: DataFrame, keys: list[str | Column], n: int = 2) -> Data
     Null-safe: NULL probe keys group together and survive (the
     reference retains probe-failed files as potential dups,
     Guts.pm:137,158 — recall-preserving failure mode).
+
+    `observation` (A6): in-flight counters `<prefix>_members` (rows in
+    surviving groups) and `<prefix>_groups`, attached to the aggregate
+    — which feeds exactly ONE consumer (the semi-join build side), so
+    the count is exact with zero extra passes.  The reference's
+    size-dup/real-dup run counters (App.pm:424-429) ride here.
     """
     key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     names = [f"__k{i}" for i in range(len(key_cols))]
@@ -67,8 +79,14 @@ def having_at_least(df: DataFrame, keys: list[str | Column], n: int = 2) -> Data
         keyed.groupBy(*names)
         .agg(F.count(F.lit(1)).alias("__grp_n"))
         .where(F.col("__grp_n") >= n)
-        .select(*[F.col(m).alias(f"{m}_s") for m in names])
     )
+    if observation is not None:
+        survivors = survivors.observe(
+            observation,
+            F.sum("__grp_n").alias(f"{counter_prefix}_members"),
+            F.count(F.lit(1)).alias(f"{counter_prefix}_groups"),
+        )
+    survivors = survivors.select(*[F.col(m).alias(f"{m}_s") for m in names])
     # eqNullSafe: NULL keys are a real group (P4) and must survive the
     # join back — plain equi-join semantics would silently drop them
     cond = None
@@ -111,12 +129,27 @@ def exact_dup_cascade(
     cfg: DedupConfig,
     id_col: str = "url",
     text_col: str = "text",
+    counters: dict[str, Observation] | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Full cascade: size HAVING -> weed HAVING -> digest HAVING.
 
     Returns (id_col, size, digest) for every member of a multi-member
     digest group — the relational "master dupes hash" after the digest
     stage (Common.pm:187-198).
+
+    `materialize` binds the skinny projection behind a localCheckpoint:
+    each downstream HAVING references its input from two plan branches
+    (aggregate + semi-join probe), so without a barrier the TEXT column
+    would be re-scanned and re-hashed once per branch product — at
+    100 TB that's the dominant cost.  With the barrier, text is read
+    exactly once and every re-reference replays ~30-byte rows.
+
+    `counters` (A6): optional Observations keyed 'scan', 'size',
+    'weed', 'digest' — the reference's run-summary counter triplet
+    (App.pm:424-429) collected in-flight.  'scan' rides the skinny
+    projection (exact only with `materialize`, which forces the single
+    evaluation); the others ride each HAVING's aggregate.
     """
     # ALL text-derived keys are projected in ONE pass over the scan and
     # the text column is DROPPED before any shuffle: the cascade's
@@ -141,9 +174,18 @@ def exact_dup_cascade(
         probe.alias("__probe"),
         text_digest(text_col).alias("digest"),
     )
+    counters = counters or {}
+    if "scan" in counters:
+        skinny = skinny.observe(
+            counters["scan"], F.count(F.lit(1)).alias("scan_members")
+        )
+    if materialize:
+        skinny = skinny.localCheckpoint(eager=True)
 
     # Stage 1: same-size candidates (A1 + P2).
-    survivors = having_at_least(skinny, ["size"])
+    survivors = having_at_least(
+        skinny, ["size"], observation=counters.get("size"), counter_prefix="size"
+    )
 
     # Stage 2: weed passes (A2 + P2), zero-size bypass (P3): size-0 rows
     # skip probing (their samples are undefined in the reference,
@@ -151,11 +193,17 @@ def exact_dup_cascade(
     if cfg.weed_enabled and cfg.weed_passes:
         zero = survivors.where(F.col("size") == 0)
         nonzero = survivors.where(F.col("size") > 0)
-        weeded = having_at_least(nonzero, ["size", "__probe"])
+        weeded = having_at_least(
+            nonzero, ["size", "__probe"],
+            observation=counters.get("weed"), counter_prefix="weed",
+        )
         survivors = weeded.unionByName(zero)
 
     # Stage 3: global digest grouping (A3 + P2).
-    dup_members = having_at_least(survivors, ["digest"])
+    dup_members = having_at_least(
+        survivors, ["digest"], observation=counters.get("digest"),
+        counter_prefix="digest",
+    )
     return dup_members.select(id_col, "size", "digest")
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from app_dupfind_spark.functions.text import token_hashes, window_hashes
+from app_dupfind_spark.plans.partitioning import ensure_min_partitions
 
 
 def doc_shingles(
@@ -40,9 +41,9 @@ def doc_shingles(
     the MinHash approximation downstream)."""
     # parallelism guard: a small parquet input arrives as one partition
     # and the interpreted window-hash work would run on one core
-    min_p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, min_p // 2):
-        df = df.repartition(min_p, id_col)
+    df = ensure_min_partitions(
+        df, df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
     # the window array is referenced exactly ONCE (inside explode) —
     # size()/where() references would re-evaluate the interpreted
     # window expression per reference; n_shingles comes from a count
@@ -58,6 +59,63 @@ def doc_shingles(
     return exploded.withColumn(
         "n_shingles", F.count(F.lit(1)).over(w).cast("int")
     ).select(id_col, "n_shingles", "shingle")
+
+
+def exact_jaccard_for_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact shingle-Jaccard for a GIVEN pair list (a, b) — the
+    pair-targeted verifier behind cfg.verify_mode='exact'.
+
+    Scale shape: shingles are computed only for docs appearing in some
+    pair (semi-join prune), and the co-occurrence count joins pair ->
+    shingles(a) -> shingles(b) on (b, shingle) — total shuffle volume
+    is sum over pairs of |shingles(a)|, LINEAR in candidate pairs.  The
+    naive alternative (jaccard_pairs over the candidate-doc subset)
+    enumerates every shingle-sharing pair in the subset — a quadratic
+    blow-up the LSH prefilter exists to avoid.
+
+    Pairs with zero common shingles (or an unshingleable side) drop
+    out — callers gate on jaccard >= tau > 0, so absence == rejection.
+    Returns (a, b, n_common, n_a, n_b, jaccard).
+    """
+    ids = (
+        pairs.select(F.col("a").alias(id_col))
+        .unionByName(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    sub = docs.join(ids, id_col, "left_semi")
+    sh = doc_shingles(sub, k, id_col, text_col)
+    if materialize:
+        # the shingle table feeds both join roles; bind it once
+        sh = sh.localCheckpoint(eager=True)
+    sa = sh.select(
+        F.col(id_col).alias("a"), F.col("n_shingles").alias("n_a"), "shingle"
+    )
+    sb = sh.select(
+        F.col(id_col).alias("b"), F.col("n_shingles").alias("n_b"), "shingle"
+    )
+    return (
+        pairs.select("a", "b")
+        .join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .select("a", "b", "n_common", "n_a", "n_b", "jaccard")
+    )
 
 
 def jaccard_pairs(

@@ -38,6 +38,7 @@ from app_dupfind_spark.functions.hashing import (
     make_simhash_udf,
 )
 from app_dupfind_spark.functions.text import token_hashes, window_hashes
+from app_dupfind_spark.plans.partitioning import ensure_min_partitions
 
 
 def signatures(
@@ -53,14 +54,10 @@ def signatures(
     and ride the exact-only path (the reference's zero-size bypass
     precedent, Common.pm:100,107).
     """
-    # Parallelism guard: checkpointed/small upstream outputs often
-    # arrive as 1-2 partitions (files pack below maxPartitionBytes), and
-    # the Arrow/pandas stage would then run on one core.  Repartition
-    # ONLY when the input is under-partitioned — when the upstream
-    # already fans wide (always true at real scale) the extra shuffle
-    # of (id, text) is pure waste.
-    if df.rdd.getNumPartitions() < max(2, cfg.shuffle_partitions // 2):
-        df = df.repartition(cfg.shuffle_partitions, id_col)
+    # Parallelism guard: the Arrow/pandas stage must not run on one
+    # core when a checkpoint read-back arrives narrow (see
+    # plans.partitioning).
+    df = ensure_min_partitions(df, cfg.shuffle_partitions, id_col)
     minhash_udf = make_minhash_udf(cfg)
     # two-step projection: token hashes bound as a real column FIRST,
     # windows second (see window_hashes PERF CONTRACT)

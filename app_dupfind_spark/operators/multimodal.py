@@ -60,14 +60,20 @@ def _decode_real(raw: bytes, media_type: str):
 
 def _decode_fake(raw: bytes, media_type: str) -> list[float]:
     """Deterministic stand-in: FEATURE_DIM floats derived from byte
-    statistics — stable across partitionings and retries."""
+    statistics — stable across partitionings and retries.
+
+    Every value is INTEGER-valued (exact in float32 below 2^24) so the
+    driver's 6dp float canonicalization and the DuckDB oracle agree
+    bit-for-bit: feature j = sum(raw[j::8]) mod 997 (byte-content
+    dependent — asserts the Arrow binary path carries the exact bytes),
+    feature 0 = len mod 100000."""
     if raw is None:
         raw = b""
     n = len(raw)
     out = []
     for j in range(FEATURE_DIM):
         sl = raw[j::FEATURE_DIM]
-        out.append(float(sum(sl) % 997) / 997.0 if sl else 0.0)
+        out.append(float(sum(sl) % 997) if sl else 0.0)
     out[0] = float(n % 100000)
     return out
 

@@ -15,7 +15,7 @@ of the human format is legitimate; the robot format stays a DataFrame.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -39,6 +39,47 @@ def robot_report(clusters: DataFrame, id_col: str = "url") -> DataFrame:
         )
         .where(F.col("n_members") >= 2)
     )
+
+
+def human_report_df(
+    docs: DataFrame, id_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """S6 human sink as a DataFrame (driver-checkable, distributed):
+    one row per report line, keyed (cluster_id, line_no) — line_no 0 is
+    the cluster header `DUPLICATES (digest: %s | size: %db)`
+    (Common.pm:228-237), lines 1..n are the indented members in sorted
+    order (Common.pm:206-219).  Clusters order by cluster_id = min
+    member (Common.pm:248-251); the (cluster_id, line_no) key IS that
+    ordering, so the rendered report is just an ORDER BY.
+
+    digest here is md5 hex (cross-engine-reproducible display digest;
+    the pipeline's grouping digest stays xxhash64 — SURVEY §2.8 F1
+    documents the signed-hex deviation)."""
+    w = Window.partitionBy(text_col)
+    c = docs.select(
+        F.col(id_col).alias("member"),
+        F.col(text_col).alias("__text"),
+        F.min(id_col).over(w).alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).where(F.col("n") >= 2)
+    headers = c.where(F.col("member") == F.col("cluster_id")).select(
+        "cluster_id",
+        F.lit(0).cast("long").alias("line_no"),
+        F.concat(
+            F.lit("DUPLICATES (digest: "),
+            F.md5(F.col("__text")),
+            F.lit(" | size: "),
+            F.length("__text").cast("string"),
+            F.lit("b)"),
+        ).alias("line"),
+    )
+    wm = Window.partitionBy("cluster_id").orderBy("member")
+    members = c.select(
+        "cluster_id",
+        F.row_number().over(wm).cast("long").alias("line_no"),
+        F.concat(F.lit("    "), F.col("member").cast("string")).alias("line"),
+    )
+    return headers.unionByName(members)
 
 
 def human_report_lines(

@@ -35,6 +35,7 @@ from pyspark.sql.types import (
 
 from app_dupfind_spark.config import DedupConfig
 from app_dupfind_spark.functions.text import token_hashes, window_hashes
+from app_dupfind_spark.plans.partitioning import ensure_min_partitions
 
 
 def span_candidates(
@@ -47,11 +48,16 @@ def span_candidates(
     """Candidate pairs for the span stage: docs sharing at least one
     LONG word shingle (span_shingle_words-gram).
 
-    Guarantee: a shared verbatim span of >= min_span_chars contains a
-    full window of span_shingle_words words, so span-sharing pairs
-    always co-occur in this index (recall 1.0 without sampling).  With
-    span_sample_mod = s > 1 only shingles with xxhash64 % s == 0 enter
-    the index — winnowing-style thinning whose miss probability decays
+    Recall contract (calibrated, not absolute): a shared verbatim span
+    of >= min_span_chars contains a full window of span_shingle_words
+    words PROVIDED the span covers that many whole words — i.e.
+    min_span_chars >= span_shingle_words * (max_word_len + 1).  For web
+    text (mean word ~5-6 chars) the default (200 chars / 20 words)
+    holds for words up to 9 chars; spans made of longer words, or spans
+    beyond cfg.span_max_chars (both sides index and LCS over the SAME
+    truncated prefix), can be missed.  With span_sample_mod = s > 1
+    only shingles with xxhash64 % s == 0 enter the index —
+    winnowing-style thinning whose miss probability decays
     geometrically in span length (scale path; every config is pinned).
 
     Boilerplate guard: shingles present in > max_shingle_df docs are
@@ -63,11 +69,13 @@ def span_candidates(
     w = cfg.span_shingle_words
     # parallelism guard (small inputs arrive single-partition and the
     # interpreted window work would serialize)
-    min_p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, min_p // 2):
-        df = df.repartition(min_p, id_col)
+    df = ensure_min_partitions(
+        df, df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    # index over the SAME truncated prefix the LCS kernel sees
+    capped = F.substring(F.col(text_col), 1, cfg.span_max_chars)
     sh = df.select(
-        F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("__th")
+        F.col(id_col).alias("id"), token_hashes(capped).alias("__th")
     ).select(
         "id", F.explode(window_hashes(F.col("__th"), w)).alias("sh")
     )

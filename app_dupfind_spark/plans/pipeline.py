@@ -14,13 +14,29 @@ per-partition lineage + metrics"):
   Iceberg catalog when configured, else plain parquet + a JSON manifest
   (this sandbox has no Iceberg runtime jar; the seam keeps the call
   sites identical).
-- The manifest pins: config hash, input fingerprint, row count, wall
+- The manifest pins: config hash, upstream fingerprint, row count, wall
   seconds, and PER-PARTITION lineage rows (partition id, rows).  A
   resume replays a stage only if its manifest is missing or its config
   hash / upstream fingerprint changed — otherwise the checkpoint is
   read back, like the reference's tests resuming from a golden IR.
+  Fingerprints chain the write timestamp, so a re-run of any upstream
+  stage (new input, forced rebuild) transitively invalidates everything
+  below it; the pipeline's root fingerprint is a CONTENT fingerprint of
+  the source table (count + id-hash sum, or a caller-supplied snapshot
+  id), so pointing the same checkpoint dir at a different input can
+  never silently resume the old corpus.
+- In-flight metrics via `df.observe()` (A6, the reference's
+  scan/size-dup/real-dup counter triplet, App.pm:424-429): counters
+  ride the stage's own action — no second pass over the data.  An
+  observation must sit on a SINGLE-SCAN node (post-checkpoint, or an
+  aggregate that feeds exactly one consumer); a node referenced by two
+  plan branches is evaluated twice and would double-count.
 - A `stage_metrics` table accumulates (stage, rows_in, rows_out,
-  seconds, ts) — the App.pm:203-218 run summary as data.
+  seconds, skipped, ts) — the App.pm:203-218 run summary as data.
+- Q1 early-exit parity (App.pm:268-319 `NO DUPLICATES FOUND ... exit`):
+  `skip_stage` records a skipped stage and passes an empty frame
+  through, so a stage that empties the candidate set short-circuits
+  everything downstream instead of scheduling empty jobs.
 """
 
 from __future__ import annotations
@@ -31,8 +47,8 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
-
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from app_dupfind_spark.config import DedupConfig
 
@@ -52,6 +68,23 @@ def _partition_lineage(data_dir: Path) -> list[dict]:
             {"partition_id": i, "file": f.name, "rows": md.num_rows}
         )
     return out
+
+
+def input_fingerprint(df: DataFrame, id_col: str) -> str:
+    """Content fingerprint of a source table: row count + bit_xor of
+    xxhash64(id) — order- and partitioning-invariant (xor is
+    commutative, overflow-free under ANSI), computed in one
+    column-pruned pass.  On Iceberg, pass the snapshot id to the
+    pipeline instead and skip this scan entirely."""
+    row = (
+        df.select(F.xxhash64(F.col(id_col)).alias("__h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(__h)").alias("h"),
+        )
+        .first()
+    )
+    return f"input:{row['n']}:{row['h']}"
 
 
 class TableIO:
@@ -101,6 +134,7 @@ class StageResult:
     seconds: float
     rows: int
     resumed: bool
+    skipped: bool = False
 
 
 @dataclass
@@ -109,6 +143,9 @@ class PipelineRunner:
     cfg: DedupConfig
     checkpoint_dir: str | Path
     metrics: list[dict] = field(default_factory=list)
+    # named in-flight counters per stage, populated from df.observe()
+    # observations registered during the stage's build (A6)
+    counters: dict[str, dict[str, float]] = field(default_factory=dict)
     # "parquet": durable checkpoints + manifests + resume (production).
     # "memory": localCheckpoint per stage — same stage graph and
     # materialization points, no durable storage, NO resume.  Exists
@@ -117,10 +154,73 @@ class PipelineRunner:
     # core-count-independent and would masquerade as poor executor
     # scaling in benchmarks.
     persist_mode: str = "parquet"
+    _pending_obs: dict[str, list[tuple[str, Observation]]] = field(
+        default_factory=dict, repr=False
+    )
+    # stages skipped THIS run (Q1): fingerprint() must not fall through
+    # to a stale manifest from an earlier, non-skipped run
+    _skip_fp: dict[str, str] = field(default_factory=dict, repr=False)
 
     def __post_init__(self):
         self.io = TableIO(self.spark, self.checkpoint_dir)
         Path(self.checkpoint_dir).mkdir(parents=True, exist_ok=True)
+
+    # ---- in-flight metrics (A6) ------------------------------------
+
+    def observed(self, df: DataFrame, stage: str, name: str = "rows_in") -> DataFrame:
+        """Attach a row counter to a stage input; the count rides the
+        stage's own action (no extra job).  The returned frame must be
+        the one the stage consumes, and must flow through the plan on a
+        single-scan path (see module docstring)."""
+        obs = Observation()
+        self._pending_obs.setdefault(stage, []).append((name, obs))
+        return df.observe(obs, F.count(F.lit(1)).alias(name))
+
+    def track(self, stage: str, name: str, obs: Observation) -> None:
+        """Register an externally-attached Observation (e.g. a counter
+        inside exact_dup_cascade) to be harvested after the stage runs."""
+        self._pending_obs.setdefault(stage, []).append((name, obs))
+
+    def _harvest(self, stage: str) -> None:
+        for _name, obs in self._pending_obs.pop(stage, []):
+            try:
+                vals = obs.get  # populated: the stage action just ran
+            except Exception:
+                # AQE empty-relation propagation can PRUNE an observed
+                # subtree (an upstream HAVING emptied at runtime) — the
+                # observation is then never populated.  No rows flowed,
+                # so the counter is absent rather than fabricated.
+                continue
+            slot = self.counters.setdefault(stage, {})
+            for k, v in vals.items():  # keys = the expression aliases
+                if v is not None:
+                    slot[k] = v
+
+    def _rows_in(self, stage: str):
+        return self.counters.get(stage, {}).get("rows_in")
+
+    # ---- stage execution --------------------------------------------
+
+    def skip_stage(
+        self, name: str, empty_df: DataFrame, reason: str,
+        upstream_fingerprint: str = "",
+    ) -> StageResult:
+        """Q1 early-exit: record a skipped stage (empty upstream) and
+        pass an empty, correctly-typed frame downstream — the
+        reference's 'NO DUPLICATES FOUND ... exit' control flow
+        (App.pm:268-319) without killing the independent branches.
+
+        The stage's fingerprint becomes `<name>:skipped:<upstream>` for
+        the rest of this run, chained from the upstream fingerprints
+        that caused the skip — so downstream resumes can neither reuse
+        a stale manifest of this stage nor survive the empty->non-empty
+        transition unnoticed."""
+        self._skip_fp[name] = f"{name}:skipped:{upstream_fingerprint}"
+        self.metrics.append(
+            {"stage": name, "rows_out": 0, "seconds": 0.0, "resumed": False,
+             "skipped": True, "reason": reason}
+        )
+        return StageResult(name, empty_df, 0.0, 0, False, skipped=True)
 
     def run_stage(
         self,
@@ -134,10 +234,12 @@ class PipelineRunner:
             t0 = time.time()
             out = fn().localCheckpoint(eager=True)
             rows = out.count()
+            self._harvest(name)
             dt = time.time() - t0
             self.metrics.append(
                 {"stage": name, "rows_out": rows, "seconds": round(dt, 3),
-                 "resumed": False}
+                 "resumed": False, "skipped": False,
+                 "rows_in": self._rows_in(name)}
             )
             return StageResult(name, out, dt, rows, False)
         cfg_hash = self.cfg.config_hash()
@@ -151,7 +253,7 @@ class PipelineRunner:
             df = self.io.read(name)
             self.metrics.append(
                 {"stage": name, "rows_out": existing["rows"], "seconds": 0.0,
-                 "resumed": True}
+                 "resumed": True, "skipped": False}
             )
             return StageResult(name, df, 0.0, existing["rows"], True)
 
@@ -163,23 +265,54 @@ class PipelineRunner:
             {"config_hash": cfg_hash, "upstream": upstream_fingerprint,
              "stage": name},
         )
+        self._harvest(name)
         dt = time.time() - t0
         self.metrics.append(
             {"stage": name, "rows_out": manifest["rows"], "seconds": round(dt, 3),
-             "resumed": False}
+             "resumed": False, "skipped": False, "rows_in": self._rows_in(name)}
         )
         return StageResult(name, self.io.read(name), dt, manifest["rows"], False)
 
     def fingerprint(self, name: str) -> str:
-        """Chainable upstream fingerprint of a completed stage."""
+        """Chainable upstream fingerprint of a completed stage: name,
+        config hash, row count AND write timestamp — any upstream
+        re-run (even to identical rows) transitively invalidates
+        downstream resumes (staleness is never silent; the cost is one
+        conservative rebuild)."""
+        if name in self._skip_fp:
+            return self._skip_fp[name]
         m = self.io.manifest(name) or {}
-        return f"{name}:{m.get('config_hash','')}:{m.get('rows','')}"
+        return (
+            f"{name}:{m.get('config_hash','')}:{m.get('rows','')}"
+            f":{m.get('written_at','')}"
+        )
 
     def metrics_df(self) -> DataFrame:
         return self.spark.createDataFrame(
             [
-                (m["stage"], int(m["rows_out"]), float(m["seconds"]), bool(m["resumed"]))
+                (
+                    m["stage"],
+                    None if m.get("rows_in") is None else int(m["rows_in"]),
+                    int(m["rows_out"]),
+                    float(m["seconds"]),
+                    bool(m["resumed"]),
+                    bool(m.get("skipped", False)),
+                )
                 for m in self.metrics
             ],
-            "stage string, rows_out long, seconds double, resumed boolean",
+            "stage string, rows_in long, rows_out long, seconds double, "
+            "resumed boolean, skipped boolean",
         )
+
+    def counters_df(self) -> DataFrame:
+        """The A6 counter table (stage, counter, value) — the
+        reference's run-summary counters as data (App.pm:424-429)."""
+        rows = [
+            (stage, k, float(v))
+            for stage, kv in self.counters.items()
+            for k, v in kv.items()
+        ]
+        return self.spark.createDataFrame(
+            rows or [("", "", 0.0)],
+            "stage string, counter string, value double",
+        ).where(F.col("stage") != "")

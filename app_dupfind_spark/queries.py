@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from app_dupfind_spark.config import DedupConfig
 from app_dupfind_spark.functions import probes, text as T
+from app_dupfind_spark.functions.vectors import as_double_array
 from app_dupfind_spark.operators import ann
 from app_dupfind_spark.operators.components import connected_components
 from app_dupfind_spark.operators.dedup_pipeline import near_dup_pipeline
@@ -36,6 +37,7 @@ from app_dupfind_spark.operators.minhash_lsh import candidate_pairs, signatures
 from app_dupfind_spark.operators.multimodal import extract_features
 from app_dupfind_spark.operators.report import (
     dup_summary,
+    human_report_df,
     keep_canonical,
     robot_report,
 )
@@ -47,9 +49,24 @@ JACCARD_TAU = 0.5
 NEAR_CLUSTER_TAU = 0.7
 SPAN_WORDS = 20
 SPAN_MAX_DF = 100
+SPAN_CHECK_MIN = 100       # min_span_chars for the span property check
 TOPK_K = 5
 TOPK_QUERIES = 20          # vec_id < 20 are the query set
 COSINE_TAU = 0.4
+# embedding tables: dim pinned by TESTDATA.md (array schemas carry no
+# length; probing a row for it would be a driver action in plan-build)
+EMB_DIM = 64
+EXACT_BLOCKS = 16          # blocked exact all-pairs layout
+ANN_TAU = 0.99             # scale-dup threshold for the LSH recall check
+ANN_BANDS = 8
+ANN_ROWS = 8
+PLANT_N = 50               # planted scale-duplicates for the recall check
+PLANT_OFFSET = 1_000_000
+# planted byte-identical copies for the exact-dup property checks: the
+# sf<=0.01 fixtures contain NO byte-identical texts, which would leave
+# those checks vacuously green.  Planting is deterministic and mirrored
+# literally in the SQL oracles.
+PLANT_DOC_N = 25
 
 CFG = DedupConfig()
 NEAR_CFG = DedupConfig(jaccard_threshold=NEAR_CLUSTER_TAU, span_enabled=False)
@@ -57,6 +74,26 @@ NEAR_CFG = DedupConfig(jaccard_threshold=NEAR_CLUSTER_TAU, span_enabled=False)
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ byte-identical copies of the first PLANT_DOC_N docs
+    (doc_id shifted by PLANT_OFFSET) — deterministic exact-dup pairs
+    for property checks on corpora that have none naturally."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = d.where(F.col("doc_id") < PLANT_DOC_N).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(PLANT_OFFSET)
+    )
+    return d.unionByName(copies)
+
+
+# the SQL mirror of _docs_planted
+_PLANTED_CTE = f"""
+planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET}, text FROM documents WHERE doc_id < {PLANT_DOC_N}
+)"""
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,10 +217,11 @@ def q_near_dup_clusters(spark, sf_dir):
 
 def q_span_candidate_pairs(spark, sf_dir):
     """Span-stage candidate generation: pairs sharing >= 1 distinct
-    20-word shingle (document frequency in [2, 100])."""
+    20-word shingle (document frequency in [2, 100]).  Sampling off so
+    the oracle semantics are exact, not probabilistic."""
     return span_candidates(
         _docs(spark, sf_dir),
-        DedupConfig(span_shingle_words=SPAN_WORDS),
+        DedupConfig(span_shingle_words=SPAN_WORDS, span_sample_mod=1),
         "doc_id",
         "text",
         max_shingle_df=SPAN_MAX_DF,
@@ -254,9 +292,43 @@ def q_embedding_topk(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    """Exact all-pairs cosine join in the BLOCKED layout (ann.py):
+    equal (n/B)^2 tasks, no broadcast cartesian, no straggler — the
+    correct physical plan for an exact quadratic join.  The sublinear
+    production path is the banded LSH (embedding_ann_recall checks its
+    recall property against this exact truth)."""
     return ann.embedding_near_dup_pairs(
-        _embs(spark, sf_dir), COSINE_TAU, "vec_id", "embedding"
+        _embs(spark, sf_dir), COSINE_TAU, "vec_id", "embedding",
+        n_blocks=EXACT_BLOCKS,
     )
+
+
+def q_embedding_ann_recall(spark, sf_dir):
+    """Recall-property oracle for the banded hyperplane-LSH path: plant
+    PLANT_N deterministic scale-duplicates (1.5x copies — identical
+    direction, cosine 1, hence the same sign code in EVERY band), then
+    assert the bucketed path misses none of the exact >=ANN_TAU truth
+    (blocked all-pairs).  Identical directions share every band bucket
+    deterministically, so n_missed = 0 is a certainty, not a
+    probabilistic expectation."""
+    e = _embs(spark, sf_dir)
+    base = e.select("vec_id", as_double_array(F.col("embedding")).alias("embedding"))
+    planted = e.where(F.col("vec_id") < PLANT_N).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.5).alias("embedding"),
+    )
+    allv = base.unionByName(planted)
+    truth = ann.embedding_near_dup_pairs(
+        allv, ANN_TAU, "vec_id", "embedding", n_blocks=EXACT_BLOCKS
+    ).select("a", "b")
+    found, _skew = ann.banded_lsh_neighbors(
+        allv, ANN_TAU, dim=EMB_DIM, bands=ANN_BANDS, rows_per_band=ANN_ROWS,
+        seed=CFG.seed, id_col="vec_id", vec_col="embedding",
+    )
+    missed = truth.join(found.select("a", "b"), ["a", "b"], "left_anti")
+    return truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs")
+    ).crossJoin(missed.agg(F.count(F.lit(1)).cast("long").alias("n_missed")))
 
 
 # --------------------------------------------------------------------
@@ -265,8 +337,31 @@ def q_embedding_near_dup(spark, sf_dir):
 # --------------------------------------------------------------------
 
 def q_minhash_signatures(spark, sf_dir):
-    return signatures(_docs(spark, sf_dir), CFG, "doc_id", "text").select(
-        "doc_id", F.col("n_shingles").cast("long").alias("n_shingles"), "minhash"
+    """One row per (doc, permutation) — scalar-sortable for the driver
+    canonicalizer (array columns crash pandas lexsort); row count =
+    n_shingled_docs * num_perm is itself a checkable invariant."""
+    sigs = signatures(_docs(spark, sf_dir), CFG, "doc_id", "text")
+    return sigs.select(
+        "doc_id", F.posexplode("minhash").alias("perm_idx", "minhash_val")
+    ).select(
+        "doc_id",
+        F.col("perm_idx").cast("long").alias("perm_idx"),
+        "minhash_val",
+    )
+
+
+def q_minhash_stats(spark, sf_dir):
+    """SQL-checkable surface of the signature stage: the distinct
+    shingle count per doc and the signature width (num_perm for
+    shingled docs, 0 for short docs on the exact-only bypass)."""
+    sigs = signatures(_docs(spark, sf_dir), CFG, "doc_id", "text")
+    return sigs.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.when(F.col("minhash").isNull(), F.lit(0))
+        .otherwise(F.size("minhash"))
+        .cast("long")
+        .alias("n_perm"),
     )
 
 
@@ -276,28 +371,167 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     return pairs.select("a", "b", F.col("n_bands").cast("long").alias("n_bands"))
 
 
+def q_lsh_recall_check(spark, sf_dir):
+    """Property oracle for the LSH candidate stage: every exact-Jaccard
+    pair >= NEAR_CLUSTER_TAU (SQL-computable truth) must surface as an
+    LSH candidate.  n_missed = 0 converts 'trust the pytest oracle'
+    into a green driver row; n_true_pairs anchors non-vacuity."""
+    d = _docs(spark, sf_dir)
+    truth = jaccard_pairs(
+        d, CFG.shingle_k, NEAR_CLUSTER_TAU, "doc_id", "text"
+    ).select("a", "b")
+    sigs = signatures(d, CFG, "doc_id", "text")
+    cand, _skew = candidate_pairs(sigs, CFG, "doc_id")
+    missed = truth.join(cand.select("a", "b"), ["a", "b"], "left_anti")
+    return truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs")
+    ).crossJoin(missed.agg(F.count(F.lit(1)).cast("long").alias("n_missed")))
+
+
 def q_simhash_values(spark, sf_dir):
     return signatures(_docs(spark, sf_dir), CFG, "doc_id", "text").select(
         "doc_id", "simhash"
     )
 
 
+def q_simhash_exact_parity(spark, sf_dir):
+    """Property oracle for the hash-native signatures: byte-identical
+    texts MUST produce identical MinHash arrays and SimHash words
+    (determinism across partitions/rows is the resumability contract).
+    Runs over the planted-dup corpus: the small fixtures contain no
+    natural byte-identical pairs, so the check would be vacuous."""
+    d = _docs_planted(spark, sf_dir)
+    sigs = signatures(d, CFG, "doc_id", "text")
+    t = d.select("doc_id", "text")
+    pairs = (
+        t.alias("x")
+        .join(t.alias("y"), F.col("x.text") == F.col("y.text"))
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("a"),
+        F.col("minhash").alias("mh_a"),
+        F.col("simhash").alias("sh_a"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b"),
+        F.col("minhash").alias("mh_b"),
+        F.col("simhash").alias("sh_b"),
+    )
+    j = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .where(F.col("mh_a").isNotNull() & F.col("mh_b").isNotNull())
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_pairs"),
+        F.coalesce(
+            F.sum((F.col("sh_a") != F.col("sh_b")).cast("long")), F.lit(0)
+        ).alias("n_simhash_mismatch"),
+        F.coalesce(
+            F.sum((F.col("mh_a") != F.col("mh_b")).cast("long")), F.lit(0)
+        ).alias("n_minhash_mismatch"),
+    )
+
+
 def q_shared_span_pairs(spark, sf_dir):
     d = _docs(spark, sf_dir)
-    cfg = DedupConfig(span_shingle_words=SPAN_WORDS, min_span_chars=100)
+    cfg = DedupConfig(span_shingle_words=SPAN_WORDS, min_span_chars=SPAN_CHECK_MIN)
     cand = span_candidates(d, cfg, "doc_id", "text", max_shingle_df=SPAN_MAX_DF)
-    return shared_span_pairs(cand, d, cfg.min_span_chars, "doc_id", "text").select(
-        "a", "b", F.col("lcs_len").cast("long").alias("lcs_len")
+    return shared_span_pairs(
+        cand, d, cfg.min_span_chars, "doc_id", "text",
+        max_chars=cfg.span_max_chars,
+    ).select("a", "b", F.col("lcs_len").cast("long").alias("lcs_len"))
+
+
+def q_span_check(spark, sf_dir):
+    """Property oracle for the span stage: (1) the candidate index is
+    exactly the SQL-predictable shared-shingle pair set (sampling off),
+    (2) span pairs are a subset of candidates with lcs_len >= min,
+    (3) byte-identical docs long enough to carry a full shingle window
+    appear with lcs_len == length(text) — the LCS kernel's exactness on
+    a SQL-derivable subset (planted dups: fixtures have none
+    naturally)."""
+    d = _docs_planted(spark, sf_dir)
+    cfg = DedupConfig(
+        span_shingle_words=SPAN_WORDS, min_span_chars=SPAN_CHECK_MIN,
+        span_sample_mod=1,
+    )
+    cand = span_candidates(
+        d, cfg, "doc_id", "text", max_shingle_df=SPAN_MAX_DF
+    ).localCheckpoint(eager=True)
+    spans = shared_span_pairs(
+        cand, d, cfg.min_span_chars, "doc_id", "text",
+        max_chars=cfg.span_max_chars,
+    ).localCheckpoint(eager=True)
+    t = d.select(
+        "doc_id", "text", F.size(T.tokens(F.col("text"))).alias("__nt")
+    )
+    ex = (
+        t.alias("x")
+        .join(t.alias("y"), F.col("x.text") == F.col("y.text"))
+        .where(
+            (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.length("x.text") >= SPAN_CHECK_MIN)
+            & (F.col("x.__nt") >= SPAN_WORDS)
+        )
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.length("x.text").cast("long").alias("len"),
+        )
+    )
+    bad_exact = ex.join(spans, ["a", "b"], "left").where(
+        F.col("lcs_len").isNull() | (F.col("lcs_len") != F.col("len"))
+    )
+    outside = spans.join(cand, ["a", "b"], "left_anti")
+    below = spans.where(F.col("lcs_len") < SPAN_CHECK_MIN)
+    return (
+        cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
+        .crossJoin(ex.agg(F.count(F.lit(1)).cast("long").alias("n_exact_pairs")))
+        .crossJoin(
+            outside.agg(F.count(F.lit(1)).cast("long").alias("n_outside_candidates"))
+        )
+        .crossJoin(below.agg(F.count(F.lit(1)).cast("long").alias("n_below_min")))
+        .crossJoin(
+            bad_exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact_violations"))
+        )
     )
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Binary->feature plumbing over mapInPandas, exploded to one row
+    per (asset, dim) — scalar-sortable AND value-checkable: the fake
+    decoder's byte-sum features are integer-valued, so the DuckDB
+    oracle reproduces them exactly from the (all-ASCII) text bytes."""
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("asset_id"),
         F.encode("text", "utf-8").alias("asset"),
         F.lit("text/plain").alias("media_type"),
     )
-    return extract_features(d, "asset_id", "asset", "media_type", use_fake_decoder=True)
+    feats = extract_features(d, "asset_id", "asset", "media_type", use_fake_decoder=True)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.posexplode("features").alias("dim_idx", "feature_val"),
+    ).select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.col("feature_val").cast("double").alias("feature_val"),
+    )
+
+
+def q_human_report(spark, sf_dir):
+    """S6 human sink (Common.pm:228-237 header + indented members,
+    t/009 golden) as (cluster_id, line_no, line) rows — ORDER BY
+    (cluster_id, line_no) renders the reference report.  Planted dups
+    so the golden format is actually exercised (value-checked headers
+    with real md5 digests), not an empty frame."""
+    return human_report_df(_docs_planted(spark, sf_dir), "doc_id", "text")
 
 
 # --------------------------------------------------------------------
@@ -553,6 +787,123 @@ SELECT * FROM (
   WHERE a.vec_id < b.vec_id
 ) WHERE cos_sim >= {COSINE_TAU}
 """,
+    "embedding_ann_recall": f"""
+WITH u AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET},
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5)
+  FROM embeddings WHERE vec_id < {PLANT_N}
+),
+p AS (
+  SELECT round(list_dot_product(a.dv, b.dv) /
+           (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(b.dv, b.dv))), 6) AS cos
+  FROM u a, u b WHERE a.vec_id < b.vec_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+       CAST(0 AS BIGINT) AS n_missed
+FROM p WHERE cos >= {ANN_TAU}
+""",
+    "minhash_stats": f"""
+WITH {_shingle_cte(JACCARD_K)}
+SELECT d.doc_id,
+       CAST(coalesce(n.n, 0) AS BIGINT) AS n_shingles,
+       CAST(CASE WHEN coalesce(n.n, 0) > 0 THEN 128 ELSE 0 END AS BIGINT) AS n_perm
+FROM documents d LEFT JOIN nsh n USING (doc_id)
+""",
+    "lsh_recall_check": f"""
+{_JACCARD_PAIRS_CTE}
+SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+       CAST(0 AS BIGINT) AS n_missed
+FROM jp WHERE jaccard >= {NEAR_CLUSTER_TAU}
+""",
+    "simhash_exact_parity": f"""
+WITH {_PLANTED_CTE},
+tk AS (
+  SELECT doc_id, {_TOKS} AS t FROM planted
+),
+eligible AS (SELECT doc_id FROM tk WHERE len(t) >= {JACCARD_K}),
+p AS (
+  SELECT d1.doc_id AS a, d2.doc_id AS b
+  FROM planted d1 JOIN planted d2 ON d1.text = d2.text
+  WHERE d1.doc_id < d2.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       CAST(0 AS BIGINT) AS n_simhash_mismatch,
+       CAST(0 AS BIGINT) AS n_minhash_mismatch
+FROM p JOIN eligible e1 ON e1.doc_id = p.a JOIN eligible e2 ON e2.doc_id = p.b
+""",
+    "span_check": f"""
+WITH {_PLANTED_CTE},
+{_shingle_cte(SPAN_WORDS, "planted")},
+dfq AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) >= 2 AND count(*) <= {SPAN_MAX_DF}
+),
+cand AS (
+  SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
+  FROM sh s1 JOIN dfq USING (shingle) JOIN sh s2 USING (shingle)
+  WHERE s1.doc_id < s2.doc_id
+),
+ex AS (
+  SELECT d1.doc_id AS a, d2.doc_id AS b
+  FROM planted d1
+  JOIN planted d2 ON d1.text = d2.text
+  JOIN toks t1 ON t1.doc_id = d1.doc_id
+  WHERE d1.doc_id < d2.doc_id
+    AND length(d1.text) >= {SPAN_CHECK_MIN}
+    AND len(t1.t) >= {SPAN_WORDS}
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact_pairs,
+       CAST(0 AS BIGINT) AS n_outside_candidates,
+       CAST(0 AS BIGINT) AS n_below_min,
+       CAST(0 AS BIGINT) AS n_exact_violations
+""",
+    "multimodal_features": """
+WITH b AS (
+  SELECT doc_id AS asset_id, text, length(text) AS n FROM documents
+),
+pos AS (
+  SELECT asset_id, text, n, unnest(generate_series(1, n)) AS p
+  FROM b WHERE n > 0
+),
+by_dim AS (
+  SELECT asset_id, CAST((p - 1) % 8 AS BIGINT) AS dim_idx,
+         CAST(sum(ascii(substring(text, p, 1))) % 997 AS DOUBLE) AS fv
+  FROM pos GROUP BY 1, 2
+),
+dims AS (SELECT unnest(generate_series(0, 7)) AS dim_idx),
+grid AS (SELECT b.asset_id, b.n, d.dim_idx FROM b, dims d)
+SELECT g.asset_id,
+       'text/plain' AS media_type,
+       CAST(g.n AS BIGINT) AS n_bytes,
+       CAST(g.dim_idx AS BIGINT) AS dim_idx,
+       CASE WHEN g.dim_idx = 0 THEN CAST(g.n % 100000 AS DOUBLE)
+            ELSE coalesce(f.fv, 0.0) END AS feature_val
+FROM grid g
+LEFT JOIN by_dim f ON f.asset_id = g.asset_id AND f.dim_idx = g.dim_idx
+""",
+    "human_report": f"""
+WITH {_PLANTED_CTE},
+c AS (
+  SELECT doc_id, text,
+         min(doc_id) OVER (PARTITION BY text) AS cluster_id,
+         count(*) OVER (PARTITION BY text) AS n
+  FROM planted
+),
+m AS (SELECT * FROM c WHERE n >= 2)
+SELECT cluster_id, CAST(0 AS BIGINT) AS line_no,
+       'DUPLICATES (digest: ' || md5(text) || ' | size: '
+         || CAST(length(text) AS VARCHAR) || 'b)' AS line
+FROM m WHERE doc_id = cluster_id
+UNION ALL
+SELECT cluster_id,
+       CAST(row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS BIGINT),
+       '    ' || CAST(doc_id AS VARCHAR)
+FROM m
+""",
 }
 
 
@@ -575,10 +926,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binary_meta": q_binary_meta,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
-    # hash-native / algorithmic: rows-only checks
+    "embedding_ann_recall": q_embedding_ann_recall,
+    "minhash_stats": q_minhash_stats,
+    "lsh_recall_check": q_lsh_recall_check,
+    "simhash_exact_parity": q_simhash_exact_parity,
+    "span_check": q_span_check,
+    "multimodal_features": q_multimodal_features,
+    "human_report": q_human_report,
+    # hash-native value surfaces: rows-only checks by design (xxhash64
+    # has no DuckDB analog); their PROPERTIES are oracle-checked by
+    # lsh_recall_check / simhash_exact_parity / span_check above
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "simhash_values": q_simhash_values,
     "shared_span_pairs": q_shared_span_pairs,
-    "multimodal_features": q_multimodal_features,
 }

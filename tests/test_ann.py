@@ -1,5 +1,6 @@
-"""Embedding similarity: brute-force top-k vs numpy oracle, near-dup
-pairs, LSH-bucketed recall."""
+"""Embedding similarity: brute-force top-k vs numpy oracle, exact
+blocked all-pairs parity, banded-LSH recall/precision, multi-probe,
+bucket cap + skew report, code determinism."""
 
 from __future__ import annotations
 
@@ -71,23 +72,88 @@ def test_near_dup_pairs_find_cluster_members(spark, vecs):
     assert not [p for p in got if p[0] in noise or p[1] in noise]
 
 
-def test_lsh_bucketed_recall(spark, vecs):
-    df, rows = vecs
-    exact = {(r["a"], r["b"]) for r in ann.embedding_near_dup_pairs(df, 0.9).collect()}
-    approx = {
-        (r["a"], r["b"])
-        for r in ann.lsh_bucketed_neighbors(df, 0.9, bits=4, seed=42, dim=16).collect()
+def test_blocked_exact_equals_crossjoin(spark, vecs):
+    """The blocked cartesian layout must return the identical pair set
+    (values included) as the naive cross join — it is a physical
+    re-layout, not an approximation."""
+    df, _ = vecs
+    naive = {
+        (r["a"], r["b"], r["cos_sim"])
+        for r in ann.embedding_near_dup_pairs(df, 0.5).collect()
     }
-    assert approx <= exact  # no false positives vs exact
+    for B in (2, 4, 7):
+        blocked = {
+            (r["a"], r["b"], r["cos_sim"])
+            for r in ann.embedding_near_dup_pairs(df, 0.5, n_blocks=B).collect()
+        }
+        assert blocked == naive, B
+
+
+def test_banded_lsh_recall_and_precision(spark, vecs):
+    df, _ = vecs
+    exact = {(r["a"], r["b"]) for r in ann.embedding_near_dup_pairs(df, 0.9).collect()}
+    approx_df, skew = ann.banded_lsh_neighbors(
+        df, 0.9, dim=16, bands=8, rows_per_band=4, seed=42
+    )
+    approx = {(r["a"], r["b"]) for r in approx_df.collect()}
+    assert approx <= exact  # exact re-rank => no false positives
     recall = len(approx & exact) / len(exact)
-    assert recall >= 0.5, recall  # 4-bit code, tight clusters survive
+    # tight clusters (cos ~0.99 => p ~0.97/bit): 8 bands of 4 bits
+    assert recall >= 0.9, recall
+    assert skew.count() == 0  # no bucket exceeds the default cap here
 
 
-def test_lsh_code_deterministic_across_partitionings(spark, vecs):
+def test_banded_lsh_multiprobe_improves_recall(spark, vecs):
+    df, _ = vecs
+    exact = {(r["a"], r["b"]) for r in ann.embedding_near_dup_pairs(df, 0.9).collect()}
+    base_df, _ = ann.banded_lsh_neighbors(
+        df, 0.9, dim=16, bands=2, rows_per_band=8, seed=7
+    )
+    probe_df, _ = ann.banded_lsh_neighbors(
+        df, 0.9, dim=16, bands=2, rows_per_band=8, seed=7, probe_bits=1
+    )
+    base = {(r["a"], r["b"]) for r in base_df.collect()}
+    probed = {(r["a"], r["b"]) for r in probe_df.collect()}
+    assert base <= probed  # multi-probe only ADDS candidate buckets
+    assert probed <= exact
+
+
+def test_banded_lsh_bucket_cap_reports_skew(spark):
+    # 40 identical-direction vectors land in ONE bucket per band; with
+    # bucket_cap below 40 every band bucket trips the cap and the pair
+    # list is empty — truncation is reported, never silent
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs, skew = ann.banded_lsh_neighbors(
+        df, 0.5, dim=4, bands=4, rows_per_band=4, bucket_cap=10
+    )
+    assert pairs.count() == 0
+    report = skew.collect()
+    assert len(report) == 4  # one over-cap bucket per band
+    assert all(r["bucket_size"] == 40 for r in report)
+
+
+def test_band_codes_deterministic_across_partitionings(spark, vecs):
     df, _ = vecs
     from pyspark.sql import functions as F
 
-    udf = ann.make_hyperplane_lsh_udf(16, 8, 42)
-    a = {r["vec_id"]: r["c"] for r in df.repartition(1).select("vec_id", udf(F.col("embedding")).alias("c")).collect()}
-    b = {r["vec_id"]: r["c"] for r in df.repartition(7).select("vec_id", udf(F.col("embedding")).alias("c")).collect()}
+    udf = ann.make_band_codes_udf(16, 4, 8, 42)
+    a = {r["vec_id"]: tuple(r["c"]) for r in df.repartition(1).select("vec_id", udf(F.col("embedding")).alias("c")).collect()}
+    b = {r["vec_id"]: tuple(r["c"]) for r in df.repartition(7).select("vec_id", udf(F.col("embedding")).alias("c")).collect()}
     assert a == b
+
+
+def test_scaled_copy_shares_every_band_bucket(spark):
+    """cos(v, 1.5v) = 1 and sign projections are scale-invariant — the
+    planted-duplicate recall property the driver query relies on."""
+    rng = np.random.default_rng(3)
+    base = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(20)]
+    planted = [(i + 1000, [1.5 * x for x in v]) for i, v in base]
+    df = spark.createDataFrame(
+        base + planted, "vec_id long, embedding array<double>"
+    )
+    pairs, _ = ann.banded_lsh_neighbors(
+        df, 0.99, dim=16, bands=4, rows_per_band=8, seed=42
+    )
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert {(i, i + 1000) for i in range(20)} <= got
