@@ -203,6 +203,11 @@ def q_near_dup_clusters(spark, sf_dir):
     """Flagship: full exact+near pipeline over documents (LSH candidates,
     MinHash-estimated-Jaccard gate at 0.7, exact-dup union, CC)."""
     d = _docs(spark, sf_dir).withColumn("__ord", F.col("doc_id"))
+    # memory-mode checkpoints + pinned source fingerprint: the query
+    # surface creates a FRESH checkpoint dir per call, so durable
+    # parquet round-trips and the input-content scan buy nothing here
+    # (resume + staleness are exercised by the job entrypoint and the
+    # pipeline tests); the stage graph and barriers are identical
     clusters, _ = near_dup_pipeline(
         spark,
         d,
@@ -211,6 +216,8 @@ def q_near_dup_clusters(spark, sf_dir):
         id_col="doc_id",
         text_col="text",
         order_col="__ord",
+        persist_mode="memory",
+        source_fingerprint="driver-query-fresh-dir",
     )
     return clusters.select("doc_id", "cluster_id", "is_canonical")
 
@@ -292,14 +299,13 @@ def q_embedding_topk(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Exact all-pairs cosine join in the BLOCKED layout (ann.py):
-    equal (n/B)^2 tasks, no broadcast cartesian, no straggler — the
-    correct physical plan for an exact quadratic join.  The sublinear
-    production path is the banded LSH (embedding_ann_recall checks its
-    recall property against this exact truth)."""
-    return ann.embedding_near_dup_pairs(
-        _embs(spark, sf_dir), COSINE_TAU, "vec_id", "embedding",
-        n_blocks=EXACT_BLOCKS,
+    """Exact all-pairs cosine join in the BLOCKED-GEMM layout (ann.py):
+    equal (n/B)^2 tasks, each one numpy matrix multiply — no broadcast
+    cartesian, no straggler, no interpreted per-pair math.  The
+    sublinear production path is the banded LSH (embedding_ann_recall
+    checks its recall property against this exact truth)."""
+    return ann.blocked_gemm_pairs(
+        _embs(spark, sf_dir), COSINE_TAU, EXACT_BLOCKS, "vec_id", "embedding"
     )
 
 
@@ -318,8 +324,8 @@ def q_embedding_ann_recall(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double") * 1.5).alias("embedding"),
     )
     allv = base.unionByName(planted)
-    truth = ann.embedding_near_dup_pairs(
-        allv, ANN_TAU, "vec_id", "embedding", n_blocks=EXACT_BLOCKS
+    truth = ann.blocked_gemm_pairs(
+        allv, ANN_TAU, EXACT_BLOCKS, "vec_id", "embedding"
     ).select("a", "b")
     found, _skew = ann.banded_lsh_neighbors(
         allv, ANN_TAU, dim=EMB_DIM, bands=ANN_BANDS, rows_per_band=ANN_ROWS,
@@ -341,12 +347,22 @@ def q_minhash_signatures(spark, sf_dir):
     canonicalizer (array columns crash pandas lexsort); row count =
     n_shingled_docs * num_perm is itself a checkable invariant."""
     sigs = signatures(_docs(spark, sf_dir), CFG, "doc_id", "text")
-    return sigs.select(
-        "doc_id", F.posexplode("minhash").alias("perm_idx", "minhash_val")
-    ).select(
-        "doc_id",
-        F.col("perm_idx").cast("long").alias("perm_idx"),
-        "minhash_val",
+    # posexplode_OUTER + explicit null filter: plain posexplode makes
+    # Catalyst infer `size(minhash) > 0` and push it BELOW the
+    # repartition with the UDF inlined — re-running MinHash serially on
+    # the pre-shuffle layout (measured 17x).  Outer generate infers no
+    # filter; the null rows are dropped after.
+    return (
+        sigs.select(
+            "doc_id",
+            F.posexplode_outer("minhash").alias("perm_idx", "minhash_val"),
+        )
+        .where(F.col("perm_idx").isNotNull())
+        .select(
+            "doc_id",
+            F.col("perm_idx").cast("long").alias("perm_idx"),
+            "minhash_val",
+        )
     )
 
 

@@ -35,8 +35,32 @@ HEADLINE = [
     "doc_fingerprints",
     "embedding_topk",
     "embedding_near_dup",
+    "embedding_ann_recall",
     "span_candidate_pairs",
 ]
+
+
+def _pipeline_full(spark, sf_dir):
+    """Full-config pipeline (span stage ON — the driver suite's
+    near_dup_clusters runs NEAR_CFG with spans off; this is the
+    every-stage number)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from app_dupfind_spark.config import DedupConfig
+    from app_dupfind_spark.operators.dedup_pipeline import near_dup_pipeline
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("__ord", F.col("doc_id"))
+    )
+    cfg = DedupConfig(jaccard_threshold=0.7, span_enabled=True)
+    clusters, _ = near_dup_pipeline(
+        spark, d, cfg, tempfile.mkdtemp(prefix="bench_full_"),
+        id_col="doc_id", text_col="text", order_col="__ord",
+    )
+    return clusters
 
 
 def run(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
@@ -67,8 +91,8 @@ def run(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in names or HEADLINE:
-        fn = QUERIES[name]
+    for name in names or (HEADLINE + ["pipeline_full"]):
+        fn = _pipeline_full if name == "pipeline_full" else QUERIES[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -157,3 +157,19 @@ def test_scaled_copy_shares_every_band_bucket(spark):
     )
     got = {(r["a"], r["b"]) for r in pairs.collect()}
     assert {(i, i + 1000) for i in range(20)} <= got
+
+
+def test_blocked_gemm_equals_crossjoin(spark, vecs):
+    """The GEMM kernel must return the same pair set and (6dp-rounded)
+    values as the SQL-expression cross join."""
+    df, _ = vecs
+    naive = {
+        (r["a"], r["b"], r["cos_sim"])
+        for r in ann.embedding_near_dup_pairs(df, 0.5).collect()
+    }
+    for B in (2, 5):
+        gemm = {
+            (r["a"], r["b"], r["cos_sim"])
+            for r in ann.blocked_gemm_pairs(df, 0.5, B).collect()
+        }
+        assert gemm == naive, B

@@ -9,7 +9,7 @@ from collections import defaultdict
 import pytest
 
 from app_dupfind_spark.config import DedupConfig
-from app_dupfind_spark.fixtures import build_corpus, pages_df
+from app_dupfind_spark.fixtures import BASE_TS, build_corpus, pages_df
 from app_dupfind_spark.operators.dedup_pipeline import near_dup_pipeline
 
 
@@ -152,3 +152,85 @@ def test_duplicate_url_canonicalization(spark, tmp_path):
     canon = runner.io.read("canon")
     texts = {r["url"]: r["text"] for r in canon.collect()}
     assert texts["u1"].startswith("text version one")
+
+
+def test_q1_early_exit_on_all_unique_corpus(spark, tmp_path):
+    """Q1 (App.pm:268-319): a corpus with no dup evidence short-circuits
+    — verify is skipped when LSH yields no candidates, CC is skipped
+    when there are no edges, and every doc is its own singleton
+    cluster.  No empty jobs are scheduled for the skipped stages."""
+    rows = [
+        (f"u{i}", BASE_TS, b"", f"completely unique document number {i} " +
+         " ".join(f"w{i}x{j}" for j in range(30)), "en")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    cfg = DedupConfig(span_enabled=False)
+    clusters, runner = near_dup_pipeline(spark, df, cfg, str(tmp_path / "ckq1"))
+    status = {m["stage"]: m for m in runner.metrics}
+    assert status["verify"]["skipped"] is True
+    assert status["cc"]["skipped"] is True
+    got = [(r["url"], r["cluster_id"], r["is_canonical"]) for r in clusters.collect()]
+    assert len(got) == 12
+    assert all(u == cid and canon for u, cid, canon in got)
+
+
+def test_q1_skip_does_not_poison_resume(spark, pages, tmp_path):
+    """A skipped stage must not let downstream stages resume against a
+    stale manifest: run an empty corpus (cc skipped), then a real one
+    in the SAME checkpoint dir — clusters must rebuild, not resume."""
+    rows = [
+        (f"u{i}", BASE_TS, b"", f"unique doc {i} " +
+         " ".join(f"t{i}y{j}" for j in range(30)), "en")
+        for i in range(8)
+    ]
+    empty_corpus = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    ckpt = str(tmp_path / "ckq1b")
+    cfg = DedupConfig(span_enabled=False)
+    near_dup_pipeline(spark, empty_corpus, cfg, ckpt)
+    clusters, runner = near_dup_pipeline(spark, pages, cfg, ckpt)
+    status = {m["stage"]: m for m in runner.metrics}
+    # new input -> content fingerprint differs -> full rebuild
+    assert not status["canon"]["resumed"]
+    assert not status["clusters"]["resumed"]
+    assert clusters.count() == pages.count()
+
+
+def test_a6_counters_reference_triplet(result, corpus):
+    """A6 (App.pm:424-429): the scan/size-dup/real-dup counter triplet
+    collected in-flight via df.observe() — no second pass."""
+    _, runner, _ = result
+    c = runner.counters
+    assert c["canon"]["rows_in"] == len(corpus.rows)
+    ex = c["exact"]
+    assert ex["scan_members"] == len(corpus.rows)
+    # cascade only ever shrinks (the reference's monotone cascade)
+    assert ex["scan_members"] >= ex["size_members"] >= ex["weed_members"] >= ex["digest_members"]
+    # real dups: members of multi-member digest groups == exact stage rows_out
+    exact_rows = next(m for m in runner.metrics if m["stage"] == "exact")["rows_out"]
+    assert ex["digest_members"] == exact_rows
+    # ground truth: members of multi-member byte-identical text groups
+    # (exact clusters + the empty-doc group) survive the whole cascade
+    by_text = defaultdict(int)
+    for r in corpus.rows:
+        by_text[r["text"]] += 1
+    n_exact_members = sum(n for n in by_text.values() if n >= 2)
+    assert ex["digest_members"] == n_exact_members
+
+
+def test_input_change_invalidates_same_checkpoint_dir(spark, pages, tmp_path):
+    """Resume staleness (ADVICE): same checkpoint dir, different input
+    -> the content fingerprint forces a rebuild instead of silently
+    returning the old corpus' clusters."""
+    ckpt = str(tmp_path / "ckstale")
+    cfg = DedupConfig()
+    near_dup_pipeline(spark, pages, cfg, ckpt)
+    drop_url = pages.select("url").first()["url"]
+    smaller = pages.where(pages["url"] != drop_url)
+    clusters2, runner2 = near_dup_pipeline(spark, smaller, cfg, ckpt)
+    assert not any(m["resumed"] for m in runner2.metrics if m["stage"] == "canon")
+    assert clusters2.count() == smaller.count()

@@ -61,3 +61,28 @@ def test_dup_summary_counters(spark, pages, corpus, cfg):
     assert row["n_docs"] == 3 + 5 + 4 + 4 + 2 + 3
     assert row["n_clusters"] == 6
     assert row["n_removable"] == row["n_docs"] - row["n_clusters"]
+
+
+def test_human_report_df_matches_golden_format(spark):
+    """S6 as a DataFrame: header line + indented members per cluster,
+    line_no ordering renders the reference's t/009 golden shape."""
+    import hashlib
+
+    from app_dupfind_spark.operators.report import human_report_df
+
+    docs = spark.createDataFrame(
+        [("u1", "same text here"), ("u3", "same text here"),
+         ("u2", "same text here"), ("u9", "loner text")],
+        "url string, text string",
+    )
+    rows = sorted(
+        ((r["cluster_id"], r["line_no"], r["line"])
+         for r in human_report_df(docs, "url", "text").collect()),
+    )
+    digest = hashlib.md5(b"same text here").hexdigest()
+    assert rows == [
+        ("u1", 0, f"DUPLICATES (digest: {digest} | size: 14b)"),
+        ("u1", 1, "    u1"),
+        ("u1", 2, "    u2"),
+        ("u1", 3, "    u3"),
+    ]
