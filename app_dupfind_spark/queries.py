@@ -11,10 +11,20 @@ name):
   -> split(' ') -> drop empty strings (DuckDB regexp_replace needs the
   'g' flag to match Spark's global replace).
 
-Hash-dependent operators (MinHash/LSH/SimHash, LCS spans, multimodal
-features) have no SQL oracle — the driver records a rows-only check;
-their correctness is established against the pure-Python oracle in
-tests/ instead.
+Hash-dependent VALUE surfaces (raw MinHash rows, LSH candidate pairs,
+SimHash words, LCS lengths) have no SQL value oracle — xxhash64 has no
+DuckDB analog — so the driver records a rows-only check for them.
+Their CORRECTNESS is driver-checked anyway through property queries
+with real SQL oracles: lsh_recall_check (every exact-Jaccard pair >=
+tau surfaces as an LSH candidate), simhash_exact_parity (byte-identical
+texts produce identical signatures), span_check (candidate-index
+equality + LCS exactness on byte-identical pairs), minhash_stats
+(shingle counts + signature widths), embedding_ann_recall (planted
+scale-duplicates are never missed by the banded LSH).  Multimodal
+features use an integer-valued decoder and are fully value-checked.
+Where the small fixtures lack the structure a property needs (no
+byte-identical texts at sf<=0.01), the query plants deterministic
+duplicates and the oracle replicates the planting literally.
 """
 
 from __future__ import annotations

@@ -1,0 +1,249 @@
+"""Structured Streaming NEAR-dup detection: a stateful LSH bucket store.
+
+Batch near-dup (operators/minhash_lsh.py) self-joins band buckets; a
+stream cannot self-join its own past, so the bucket becomes STATE: for
+each (band, band_hash) group, `applyInPandasWithState` keeps the
+members seen so far — (id, simhash, 32-permutation MinHash sketch) —
+and compares each arriving doc against them.  The in-bucket gate
+mirrors the batch verifier (verify.verify_pairs): MinHash-estimated
+Jaccard >= cfg.jaccard_threshold (sketch prefix, sigma ~ 0.08 at 32
+perms) OR SimHash Hamming <= cfg.simhash_max_hamming.  The exact
+Jaccard re-verification stays a batch re-check downstream — online
+detection is the recall prefilter, not the final truth.
+
+State discipline (the only sane contract at unbounded scale):
+- bounded membership: at most `max_bucket_state` members per bucket
+  (FIFO eviction — oldest out; a bucket hotter than the cap is
+  boilerplate mass, same argument as the batch `lsh_bucket_cap`);
+- bounded lifetime: event-time timeout `state_ttl` past the watermark —
+  idle buckets age out with the watermark, so total state is
+  O(active buckets x cap), independent of stream length.
+
+Emission: one row per (new doc, stored match) with Hamming <= gate,
+per band — a pair sharing several bands emits once per band; dedup
+downstream if exactly-once pairs are needed (documented, not hidden).
+
+The reference is strictly batch (SURVEY §1.2); this is a graft
+extension required by the training-data-pipeline brief
+(applyInPandasWithState custom stateful operator).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from app_dupfind_spark.config import DedupConfig
+from app_dupfind_spark.functions.hashing import (
+    band_hashes,
+    make_minhash_udf,
+    make_simhash_udf,
+)
+from app_dupfind_spark.functions.text import token_hashes, window_hashes
+
+MATCH_SCHEMA = StructType(
+    [
+        StructField("a", StringType()),   # stored (earlier) doc
+        StructField("b", StringType()),   # arriving doc
+        StructField("hamming", IntegerType()),
+        StructField("est_jaccard", DoubleType()),
+        StructField("band", IntegerType()),
+    ]
+)
+
+# how many leading MinHash permutations ride in state as the Jaccard
+# estimator sketch (sigma = sqrt(J(1-J)/32) ~ 0.08 at J=0.7)
+SKETCH_PERMS = 32
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("ids", ArrayType(StringType())),
+        StructField("sims", ArrayType(LongType())),
+        # member-major flattened (n_members x SKETCH_PERMS)
+        StructField("sketches", ArrayType(LongType())),
+    ]
+)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount without numpy>=2's bit_count: unpack
+    the uint64 view to bytes and sum unpacked bits."""
+    b = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+    return b.sum(axis=1)
+
+
+def make_bucket_matcher(
+    max_hamming: int,
+    jaccard_threshold: float,
+    max_bucket_state: int,
+    ttl_ms: int,
+):
+    """The applyInPandasWithState function for one (band, band_hash)
+    bucket: compare arrivals against stored members (vectorized XOR +
+    popcount for Hamming; sketch-agreement mean for estimated Jaccard),
+    emit matches, append arrivals to bounded FIFO state."""
+
+    def match_bucket(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids_l, sims_l, sk_l = state.get
+            ids = list(ids_l or [])
+            sims = list(sims_l or [])
+            sketches = list(sk_l or [])
+        else:
+            ids, sims, sketches = [], [], []
+        band = int(key[0])
+        max_event_ms = 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            # arrivals in deterministic order (id) so replays emit the
+            # same pairs; event time drives the state TTL
+            pdf = pdf.sort_values("id")
+            max_event_ms = max(
+                max_event_ms, int(pdf["ts"].max().value // 1_000_000)
+            )
+            out_a, out_b, out_h, out_j = [], [], [], []
+            for doc_id, sh, sketch in zip(pdf["id"], pdf["sim"], pdf["sketch"]):
+                sk = np.asarray(sketch, dtype=np.int64)
+                if ids:
+                    stored_sims = np.asarray(sims, dtype=np.int64).view(np.uint64)
+                    ham = _popcount64(stored_sims ^ np.uint64(np.int64(sh)))
+                    stored_sk = np.asarray(sketches, dtype=np.int64).reshape(
+                        len(ids), SKETCH_PERMS
+                    )
+                    est = (stored_sk == sk[None, :]).mean(axis=1)
+                    hits = np.nonzero(
+                        (ham <= max_hamming) | (est >= jaccard_threshold)
+                    )[0]
+                    for i in hits:
+                        out_a.append(ids[i])
+                        out_b.append(doc_id)
+                        out_h.append(int(ham[i]))
+                        out_j.append(round(float(est[i]), 6))
+                ids.append(doc_id)
+                sims.append(int(sh))
+                sketches.extend(int(v) for v in sk)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "a": out_a,
+                        "b": out_b,
+                        "hamming": pd.array(out_h, dtype="int32"),
+                        "est_jaccard": pd.array(out_j, dtype="float64"),
+                        "band": pd.array([band] * len(out_a), dtype="int32"),
+                    }
+                )
+        # bounded FIFO state + watermark-anchored TTL
+        ids = ids[-max_bucket_state:]
+        sims = sims[-max_bucket_state:]
+        sketches = sketches[-max_bucket_state * SKETCH_PERMS:]
+        state.update((ids, sims, sketches))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(max_event_ms, wm + 1) + ttl_ms)
+
+    return match_bucket
+
+
+def near_dup_stream(
+    pages_stream: DataFrame,
+    cfg: DedupConfig | None = None,
+    watermark: str = "1 hour",
+    state_ttl_ms: int = 3_600_000,
+    max_bucket_state: int = 64,
+    id_col: str = "url",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """streaming pages -> streaming (a, b, hamming, band) near-dup
+    detections.  Signature math is the batch operators' (same seeds,
+    same band layout — a doc hashes to the same buckets online and
+    offline); the bucket self-join becomes bounded keyed state."""
+    cfg = cfg or DedupConfig()
+    minhash_udf = make_minhash_udf(cfg)
+    simhash_udf = make_simhash_udf(cfg)
+    hashed = (
+        pages_stream.where(F.col(text_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col).cast("string").alias("id"),
+            F.col(ts_col).alias("ts"),
+            token_hashes(F.col(text_col)).alias("__th"),
+        )
+        .select(
+            "id", "ts", window_hashes(F.col("__th"), cfg.shingle_k).alias("sh")
+        )
+        .select(
+            "id",
+            "ts",
+            minhash_udf("sh").alias("minhash"),
+            simhash_udf("sh").alias("sim"),
+        )
+        .where(F.col("minhash").isNotNull())
+    )
+    banded = hashed.select(
+        "id",
+        "ts",
+        "sim",
+        F.slice("minhash", 1, SKETCH_PERMS).alias("sketch"),
+        F.posexplode_outer(
+            band_hashes(F.col("minhash"), cfg.lsh_bands, cfg.lsh_rows)
+        ).alias("band", "band_hash"),
+    ).where(F.col("band").isNotNull())
+    matcher = make_bucket_matcher(
+        cfg.simhash_max_hamming, cfg.jaccard_threshold,
+        max_bucket_state, state_ttl_ms,
+    )
+    return banded.groupBy("band", "band_hash").applyInPandasWithState(
+        matcher,
+        outputStructType=MATCH_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
+def run_near_dup_file_stream(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ),
+    watermark: str = "1 hour",
+    max_files_per_trigger: int = 1,
+):
+    """File-source wiring, one file per micro-batch (so cross-batch
+    state is actually exercised), drained with availableNow."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    matches = near_dup_stream(stream, watermark=watermark)
+    return (
+        matches.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

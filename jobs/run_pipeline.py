@@ -58,6 +58,12 @@ def main() -> None:
     ap.add_argument("--id-col", default="url")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--order-col", default="warc_ts")
+    ap.add_argument(
+        "--source-fingerprint", default=None,
+        help="input identity (e.g. Iceberg snapshot id) for resume "
+             "staleness checks; omitted -> a content fingerprint is "
+             "computed in one column-pruned pass",
+    )
     args = ap.parse_args()
 
     cfg = parse_config(args.config)
@@ -71,14 +77,19 @@ def main() -> None:
         id_col=args.id_col,
         text_col=args.text_col,
         order_col=args.order_col,
+        source_fingerprint=args.source_fingerprint,
     )
     clusters.write.mode("overwrite").parquet(args.output)
     # the reference prints a per-stage run summary (App.pm:194-219);
-    # ours is the metrics table, also persisted beside the output
+    # ours is the metrics + counters tables, also persisted beside the
+    # output (A6: scan/size-dup/real-dup triplet, App.pm:424-429)
     runner.metrics_df().write.mode("overwrite").parquet(
         str(Path(args.output).with_suffix("")) + "_stage_metrics.parquet"
     )
-    print(json.dumps({"stages": runner.metrics}))
+    runner.counters_df().write.mode("overwrite").parquet(
+        str(Path(args.output).with_suffix("")) + "_run_counters.parquet"
+    )
+    print(json.dumps({"stages": runner.metrics, "counters": runner.counters}))
     spark.stop()
 
 

@@ -31,3 +31,101 @@ def test_stream_dedup_drains_and_dedups(spark, tmp_path):
     digests = [r["digest"] for r in out.collect()]
     assert len(digests) == 2            # one per distinct content
     assert len(set(digests)) == 2
+
+
+def test_near_dup_stream_matches_across_microbatches(spark, tmp_path):
+    """Stateful LSH bucket store: a near-dup arriving in a LATER
+    micro-batch must match against bucket state from an earlier one
+    (one file per trigger => one micro-batch per file)."""
+    from app_dupfind_spark.streaming.stream_near_dup import (
+        run_near_dup_file_stream,
+    )
+
+    t = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    base = " ".join(f"word{i}" for i in range(300))
+    near = base.replace("word150 ", "edited ")  # near-identical (hamming ~1)
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    src = tmp_path / "src"
+    # file 1 -> micro-batch 1: the originals
+    spark.createDataFrame(
+        [("uA", t, b"", base, "en"),
+         ("uC", t, b"", " ".join(f"other{i}" for i in range(300)), "en")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    # file 2 -> micro-batch 2: exact dup of A + near-dup of A
+    spark.createDataFrame(
+        [("uA2", t, b"", base, "en"), ("uA3", t, b"", near, "en")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    q = run_near_dup_file_stream(
+        spark, str(src), str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(180)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    pairs = {(r["a"], r["b"]) for r in out.collect()}
+    assert ("uA", "uA2") in pairs          # cross-batch exact dup
+    assert ("uA", "uA3") in pairs          # cross-batch near dup
+    assert not any("uC" in p for pair in pairs for p in pair)
+    # exact dup: hamming 0 in some band
+    h = {(r["a"], r["b"]): r["hamming"] for r in out.collect()}
+    assert h[("uA", "uA2")] == 0
+
+
+def test_bucket_matcher_fifo_cap_and_gates():
+    """Pure-function check of the stateful kernel: FIFO eviction at the
+    cap, OR-gate (hamming OR sketch-estimate), deterministic order."""
+    import pandas as pd
+
+    from app_dupfind_spark.streaming.stream_near_dup import (
+        SKETCH_PERMS,
+        make_bucket_matcher,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists, self.hasTimedOut, self._v = False, False, None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v, self.exists = v, True
+        def remove(self):
+            self.exists = False
+        def getCurrentWatermarkMs(self):
+            return 0
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+    fn = make_bucket_matcher(
+        max_hamming=3, jaccard_threshold=0.7, max_bucket_state=2, ttl_ms=1000
+    )
+    st = FakeState()
+    ts = pd.Timestamp("2024-01-01", tz="UTC")
+
+    def batch(rows):
+        return [pd.DataFrame({
+            "id": [r[0] for r in rows],
+            "ts": [ts] * len(rows),
+            "sim": [r[1] for r in rows],
+            "sketch": [r[2] for r in rows],
+            "band": [0] * len(rows),
+            "band_hash": [7] * len(rows),
+        })]
+
+    sk = list(range(SKETCH_PERMS))
+    far_sk = [v + 1000 for v in sk]
+    # batch 1: three members; cap=2 keeps only the LAST two (u2, u3)
+    list(fn((0, 7), iter(batch([("u1", 0, sk), ("u2", 0, sk), ("u3", 0, sk)])), st))
+    assert list(st.get[0]) == ["u2", "u3"]
+    # batch 2: new doc matches via sketch (hamming huge, est 1.0)
+    out = list(fn((0, 7), iter(batch([("u4", -1, sk)])), st))
+    got = {(a, b) for df in out for a, b in zip(df["a"], df["b"])}
+    assert got == {("u2", "u4"), ("u3", "u4")}  # u1 evicted
+    # batch 3: matches via hamming only (sketch far, sim equal)
+    out = list(fn((0, 7), iter(batch([("u5", -1, far_sk)])), st))
+    got = {(a, b) for df in out for a, b in zip(df["a"], df["b"])}
+    assert got == {("u4", "u5")}  # only u4 has sim == -1
