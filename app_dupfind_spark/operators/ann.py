@@ -256,6 +256,109 @@ def blocked_gemm_pairs(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int,
+    seed: int = 42,
+    sample_n: int = 20_000,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Seeded spherical k-means on a deterministic sample — the IVF
+    coarse quantizer.  The sample (<= sample_n rows, chosen by the
+    smallest xxhash64(id) — stable under partitioning/order) is the ONE
+    deliberate driver-side collect here: centroid training is model
+    fitting on a bounded sketch, the standard IVF construction; the
+    resulting (n_cells x dim) matrix is a tiny model shipped to
+    executors inside the assignment UDF closure."""
+    sample = (
+        df.select(F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v"))
+        .orderBy(F.xxhash64(F.col("id")))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.stack([r["v"] for r in sample])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(C.shape[0]):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def make_ivf_cells_udf(centroids: np.ndarray, nprobe: int = 1):
+    """pandas UDF: embedding -> the nprobe nearest centroid ids (by
+    cosine; centroids are unit-norm so argmax dot suffices)."""
+    C = centroids
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ C.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int64)
+        return pd.Series(list(top))
+
+    return cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their single nearest
+    cell; each query probes its `nprobe` nearest cells and exact-cosine
+    re-ranks only those cells' members.  Cost per query ~ nprobe *
+    (n / n_cells) instead of n; recall is governed by nprobe (identical
+    vectors always share cell 1 — the planted-dup recall invariant the
+    driver query checks).  Equi-join on cell => hash-partitioned, no
+    broadcast of the corpus, AQE-splittable on hot cells."""
+    cell1 = make_ivf_cells_udf(centroids, 1)
+    celln = make_ivf_cells_udf(centroids, nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", l2_norm(F.col("cv"))).withColumn(
+        "cell", F.element_at(cell1(F.col("cv")), 1)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn", l2_norm(F.col("qv"))).withColumn(
+        "cell", F.explode(celln(F.col("qv")))
+    )
+    scored = (
+        q.join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
+        # a query probing several cells never sees a neighbor twice
+        # (corpus rows live in exactly one cell) — no dedup needed
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank"), "neighbor_id", "cos_sim")
+    )
+
+
 def make_band_codes_udf(dim: int, bands: int, rows_per_band: int, seed: int):
     """pandas UDF: embedding -> array of `bands` LSH band codes, each
     packing `rows_per_band` hyperplane sign bits.  Hyperplanes drawn

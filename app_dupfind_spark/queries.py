@@ -70,6 +70,8 @@ EXACT_BLOCKS = 16          # blocked exact all-pairs layout
 ANN_TAU = 0.99             # scale-dup threshold for the LSH recall check
 ANN_BANDS = 8
 ANN_ROWS = 8
+IVF_CELLS = 16             # coarse-quantizer cells for the IVF path
+IVF_NPROBE = 2
 PLANT_N = 50               # planted scale-duplicates for the recall check
 PLANT_OFFSET = 1_000_000
 # planted byte-identical copies for the exact-dup property checks: the
@@ -345,6 +347,39 @@ def q_embedding_ann_recall(spark, sf_dir):
     return truth.agg(
         F.count(F.lit(1)).cast("long").alias("n_true_pairs")
     ).crossJoin(missed.agg(F.count(F.lit(1)).cast("long").alias("n_missed")))
+
+
+def q_ivf_recall_check(spark, sf_dir):
+    """Recall-property oracle for the IVF (coarse-quantized) ANN path:
+    plant PLANT_N byte-identical vector copies; each copy's IVF top-1
+    neighbor must be its source at cosine 1.0 — identical vectors are
+    assigned the same cell deterministically, so cell probing can never
+    separate them.  n_missed = 0 is a certainty, not an expectation."""
+    e = _embs(spark, sf_dir)
+    base = e.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("embedding")
+    )
+    planted = base.where(F.col("vec_id") < PLANT_N).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "embedding"
+    )
+    allv = base.unionByName(planted)
+    cents = ann.train_ivf_centroids(
+        allv, IVF_CELLS, seed=CFG.seed, id_col="vec_id", vec_col="embedding"
+    )
+    top1 = ann.ivf_topk(
+        allv, planted, cents, k=1, nprobe=IVF_NPROBE,
+        id_col="vec_id", vec_col="embedding",
+    ).where(F.col("rank") == 1)
+    ok = top1.where(
+        (F.col("neighbor_id") == F.col("query_id") - PLANT_OFFSET)
+        & (F.col("cos_sim") >= 0.999999)
+    )
+    n_q = planted.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    n_ok = ok.agg(F.count(F.lit(1)).alias("__ok"))
+    return n_q.crossJoin(n_ok).select(
+        "n_queries",
+        (F.col("n_queries") - F.col("__ok")).cast("long").alias("n_missed"),
+    )
 
 
 # --------------------------------------------------------------------
@@ -831,6 +866,11 @@ SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
        CAST(0 AS BIGINT) AS n_missed
 FROM p WHERE cos >= {ANN_TAU}
 """,
+    "ivf_recall_check": f"""
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(0 AS BIGINT) AS n_missed
+FROM embeddings WHERE vec_id < {PLANT_N}
+""",
     "minhash_stats": f"""
 WITH {_shingle_cte(JACCARD_K)}
 SELECT d.doc_id,
@@ -953,6 +993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_ann_recall": q_embedding_ann_recall,
+    "ivf_recall_check": q_ivf_recall_check,
     "minhash_stats": q_minhash_stats,
     "lsh_recall_check": q_lsh_recall_check,
     "simhash_exact_parity": q_simhash_exact_parity,

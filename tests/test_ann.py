@@ -173,3 +173,37 @@ def test_blocked_gemm_equals_crossjoin(spark, vecs):
             for r in ann.blocked_gemm_pairs(df, 0.5, B).collect()
         }
         assert gemm == naive, B
+
+
+def test_ivf_topk_recall_on_clusters(spark, vecs):
+    """IVF with enough probes recovers the exact top-1 for clustered
+    queries; identical vectors always share a cell (the driver query's
+    planted-dup invariant)."""
+    df, _ = vecs
+    cents = ann.train_ivf_centroids(df, n_cells=4, seed=42)
+    assert cents.shape == (4, 16)
+    exact1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann.cosine_topk(df, df.where("vec_id < 15"), 1).collect()
+    }
+    ivf_all = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann.ivf_topk(df, df.where("vec_id < 15"), cents, 1, nprobe=4).collect()
+    }
+    # probing every cell == exhaustive search => identical top-1
+    assert ivf_all == exact1
+    ivf1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann.ivf_topk(df, df.where("vec_id < 15"), cents, 1, nprobe=1).collect()
+    }
+    # clustered queries' true neighbors live in the query's own cell
+    recall = len(ivf1 & exact1) / len(exact1)
+    assert recall >= 0.8, recall
+
+
+def test_ivf_centroids_deterministic(spark, vecs):
+    df, _ = vecs
+    a = ann.train_ivf_centroids(df.repartition(1), n_cells=4, seed=42)
+    b = ann.train_ivf_centroids(df.repartition(7), n_cells=4, seed=42)
+    import numpy as np
+    assert np.allclose(a, b)
