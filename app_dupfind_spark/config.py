@@ -96,6 +96,11 @@ class DedupConfig:
     # "estimate": gate on MinHash-estimated Jaccard OR the SimHash
     #             Hamming gate (cheapest: no second touch of shingles).
     verify_mode: str = "exact"
+    # exact mode's banding: pairs whose MinHash estimate clears the
+    # threshold by this margin are accepted/rejected outright (~5 sigma
+    # at num_perm=128 -> error odds ~3e-7/pair); only the borderline
+    # band pays the pair-targeted exact-Jaccard recompute.
+    est_clear_margin: float = 0.2
 
     # --- execution ---
     shuffle_partitions: int = 32

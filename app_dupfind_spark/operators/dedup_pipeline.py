@@ -78,17 +78,47 @@ def assemble_clusters(
 
 
 def _exact_verify(
-    cands: DataFrame, docs: DataFrame, cfg: DedupConfig, id_col: str, text_col: str
+    cands: DataFrame,
+    sigs: DataFrame,
+    docs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str,
+    text_col: str,
 ) -> DataFrame:
-    """verify_mode='exact': candidates gated on exact shingle-Jaccard
-    (pair-targeted inverted-index count, cost linear in candidates).
-    Output schema matches the estimate path; est_jaccard carries the
-    EXACT value here."""
-    jac = exact_jaccard_for_pairs(
-        cands.select("a", "b"), docs, cfg.shingle_k, id_col, text_col
+    """verify_mode='exact', BANDED: the MinHash estimate (signatures
+    already in hand — no text touched) decides pairs that clear the
+    threshold by cfg.est_clear_margin in either direction (~5 sigma:
+    per-pair error odds ~3e-7); only the borderline band pays the
+    pair-targeted exact-Jaccard recompute (operators/jaccard.py), so
+    the second shingle pass runs over borderline DOCS, not every
+    candidate doc.  est_jaccard carries the EXACT value for banded
+    pairs and the estimate for clear accepts; method says which."""
+    from app_dupfind_spark.operators.verify import minhash_est_jaccard
+
+    tau, m = cfg.jaccard_threshold, cfg.est_clear_margin
+    scored = (
+        attach_signatures(cands.select("a", "b"), sigs, id_col)
+        .where(F.col("minhash_a").isNotNull() & F.col("minhash_b").isNotNull())
+        .withColumn(
+            "est", minhash_est_jaccard(F.col("minhash_a"), F.col("minhash_b"))
+        )
+        .select("a", "b", "est")
     )
-    return (
-        jac.where(F.col("jaccard") >= cfg.jaccard_threshold)
+    # pairs-only frame feeding two branches: bind it once
+    scored = scored.localCheckpoint(eager=True)
+    clear = scored.where(F.col("est") >= tau + m).select(
+        "a",
+        "b",
+        F.col("est").alias("est_jaccard"),
+        F.lit(None).cast("int").alias("hamming"),
+        F.lit("minhash").alias("method"),
+    )
+    border = scored.where(
+        (F.col("est") < tau + m) & (F.col("est") > tau - m)
+    ).select("a", "b")
+    exact = (
+        exact_jaccard_for_pairs(border, docs, cfg.shingle_k, id_col, text_col)
+        .where(F.col("jaccard") >= tau)
         .select(
             "a",
             "b",
@@ -97,6 +127,7 @@ def _exact_verify(
             F.lit("jaccard").alias("method"),
         )
     )
+    return clear.unionByName(exact)
 
 
 def near_dup_pipeline(
@@ -160,7 +191,8 @@ def near_dup_pipeline(
 
     cands = runner.run_stage(
         "cands",
-        lambda: candidate_pairs(sigs.df, cfg, id_col)[0],
+        # sigs.df reads from the stage checkpoint — already a barrier
+        lambda: candidate_pairs(sigs.df, cfg, id_col, sigs_materialized=True)[0],
         upstream_fingerprint=runner.fingerprint("sigs"),
     )
 
@@ -180,7 +212,9 @@ def near_dup_pipeline(
     else:
         def _verify() -> DataFrame:
             if cfg.verify_mode == "exact":
-                return _exact_verify(cands.df, canon.df, cfg, id_col, text_col)
+                return _exact_verify(
+                    cands.df, sigs.df, canon.df, cfg, id_col, text_col
+                )
             return verify_pairs(
                 attach_signatures(cands.df, sigs.df, id_col), cfg
             )

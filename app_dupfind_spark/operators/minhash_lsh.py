@@ -92,6 +92,7 @@ def candidate_pairs(
     cfg: DedupConfig,
     id_col: str = "doc_id",
     materialize: bool = True,
+    sigs_materialized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """LSH candidate pairs (a, b, n_bands) with a < b, plus the skew
     report (band, band_hash, bucket_size) of truncated buckets.
@@ -110,11 +111,12 @@ def candidate_pairs(
     use.)  AQE's skew-join splitting handles residual imbalance above
     the explicit bucket cap.
     """
-    if materialize:
+    if materialize and not sigs_materialized:
         # bind the UDF-produced signature column behind a barrier: the
         # band explode references it once per band and measured a 30x
-        # re-evaluation penalty when fed the raw UDF plan (pipeline
-        # callers read sigs from a checkpoint and skip this)
+        # re-evaluation penalty when fed the raw UDF plan.  Callers
+        # whose sigs already sit behind a stage checkpoint pass
+        # sigs_materialized=True and skip this duplicate barrier.
         sigs = sigs.localCheckpoint(eager=True)
     buckets = band_buckets(sigs, cfg, id_col)
 

@@ -45,7 +45,7 @@ def main() -> None:
     ).mode("overwrite").save()
 
     t0 = time.time()
-    clusters, _ = near_dup_pipeline(
+    clusters, runner = near_dup_pipeline(
         spark, pages, DedupConfig(), tempfile.mkdtemp(prefix=f"scal{cpus}_"),
         persist_mode=persist_mode,
     )
@@ -55,6 +55,7 @@ def main() -> None:
         "cpus": cpus, "n_docs": n_docs, "rows_out": n_out,
         "sec": round(dt, 3), "docs_per_sec": round(n_docs / dt, 1),
         "persist_mode": persist_mode,
+        "stages": {m["stage"]: m["seconds"] for m in runner.metrics},
     }))
     spark.stop()
 
