@@ -34,20 +34,36 @@ MARKER = "## Measured (sandbox scaling evidence)"
 
 def generate_corpus(scale: int) -> tuple[str, int]:
     """Deterministic bench corpus (seed=42), written once, read by both
-    levels."""
+    levels.  Large scales are generated in <=7000-scale CHUNKS (distinct
+    seeds, url-prefixed to keep urls unique across chunks): a single
+    createDataFrame of millions of driver-side rows thrashes the
+    driver heap."""
+    from pyspark.sql import functions as F
+
     from app_dupfind_spark.fixtures import build_corpus, pages_df
     from app_dupfind_spark.session import get_spark
 
     path = Path(tempfile.gettempdir()) / f"bench_pages_scale{scale}.parquet"
-    corpus = build_corpus(seed=42, scale=scale)
-    if not path.exists():
-        spark = get_spark(app_name="gen-corpus", master="local[8]",
-                          shuffle_partitions=8)
-        pages_df(spark, corpus).repartition(32).write.mode("overwrite").parquet(
-            str(path)
-        )
-        spark.stop()
-    return str(path), len(corpus.rows)
+    chunk = 7000
+    if path.exists():
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetDataset(str(path)).read(columns=["url"]).num_rows
+        return str(path), n
+    spark = get_spark(app_name="gen-corpus", master="local[8]",
+                      shuffle_partitions=8)
+    total = 0
+    n_chunks = max(1, (scale + chunk - 1) // chunk)
+    per = scale // n_chunks
+    for i in range(n_chunks):
+        corpus = build_corpus(seed=42 + i, scale=per)
+        total += len(corpus.rows)
+        df = pages_df(spark, corpus)
+        if n_chunks > 1:
+            df = df.withColumn("url", F.concat(F.lit(f"c{i}~"), F.col("url")))
+        df.repartition(32 // n_chunks or 1).write.mode("append").parquet(str(path))
+    spark.stop()
+    return str(path), total
 
 
 def run_level(pages_path: str, cpus: int, reps: int = 2) -> dict:
