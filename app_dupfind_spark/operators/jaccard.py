@@ -126,10 +126,15 @@ def jaccard_pairs(
     text_col: str = "text",
     max_shingle_df: int | None = None,
     materialize: bool = True,
+    capped_count_col: str | None = None,
 ) -> DataFrame:
     """All unordered pairs (a < b) with exact shingle-Jaccard >= threshold.
 
-    Returns (a, b, n_common, n_a, n_b, jaccard).
+    Returns (a, b, n_common, n_a, n_b, jaccard).  With
+    `capped_count_col` set, every row additionally carries the number
+    of distinct shingles dropped by the `max_shingle_df` cap as a
+    constant column — the "never silent" truncation audit, riding the
+    result instead of a side channel (a literal 0 when no cap is set).
     """
     exploded = doc_shingles(df, k, id_col, text_col)
     if materialize:
@@ -139,8 +144,8 @@ def jaccard_pairs(
         exploded = exploded.localCheckpoint(eager=True)
 
     # document frequency per shingle; singleton shingles can't pair
-    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    dfreq = dfreq.where(F.col("df") >= 2)
+    dfreq_all = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = dfreq_all.where(F.col("df") >= 2)
     if max_shingle_df is not None:
         dfreq = dfreq.where(F.col("df") <= max_shingle_df)
 
@@ -172,4 +177,16 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "n_common", "n_a", "n_b", "jaccard")
     )
+    if capped_count_col is not None:
+        if max_shingle_df is None:
+            n_capped = df.sparkSession.range(1).select(
+                F.lit(0).cast("long").alias(capped_count_col)
+            )
+        else:
+            # one scalar over the (already materialized) shingle index;
+            # broadcast onto every pair row — a 1-row cross join
+            n_capped = dfreq_all.where(F.col("df") > max_shingle_df).agg(
+                F.count(F.lit(1)).cast("long").alias(capped_count_col)
+            )
+        pairs = pairs.crossJoin(F.broadcast(n_capped))
     return pairs

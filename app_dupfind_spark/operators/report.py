@@ -19,25 +19,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def robot_report(clusters: DataFrame, id_col: str = "url") -> DataFrame:
+def robot_report(
+    clusters: DataFrame, id_col: str = "url", max_members: int = 100
+) -> DataFrame:
     """One row per multi-member cluster: (cluster_id, n_members,
     members) with members tab-joined in sorted order — the robot output
-    contract (Common.pm:239-244)."""
-    return (
-        clusters.groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            # sort in the id's NATIVE order first, stringify after —
-            # numeric ids must not be ordered lexically
-            F.concat_ws(
-                "\t",
-                F.transform(
-                    F.sort_array(F.collect_list(id_col)),
-                    lambda x: x.cast("string"),
-                ),
-            ).alias("members"),
-        )
+    contract (Common.pm:239-244).
+
+    `members` lists at most `max_members` ids (the FIRST N in sorted
+    order); `n_members` always counts the whole cluster and `truncated`
+    flags capped rows — never silent.  Unbounded collect_list is the
+    alternative: at web scale one degenerate mega-cluster (empty docs,
+    boilerplate) would put the entire cluster in one row of one task."""
+    wc = Window.partitionBy("cluster_id")
+    wr = wc.orderBy(F.col("__m").asc())
+    # both windows share the cluster_id partitioning -> ONE exchange;
+    # sort in the id's NATIVE order (numeric ids must not sort lexically)
+    ranked = (
+        clusters.select("cluster_id", F.col(id_col).alias("__m"))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .withColumn("__rn", F.row_number().over(wr))
         .where(F.col("n_members") >= 2)
+        .where(F.col("__rn") <= max_members)
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.first("n_members").alias("n_members"),
+        F.concat_ws(
+            "\t",
+            F.transform(
+                # collect_list order is nondeterministic post-shuffle;
+                # sorting (rn, member) structs restores rank order
+                F.sort_array(F.collect_list(F.struct("__rn", "__m"))),
+                lambda s: s["__m"].cast("string"),
+            ),
+        ).alias("members"),
+        (F.first("n_members") > F.lit(max_members)).alias("truncated"),
     )
 
 
@@ -54,12 +70,28 @@ def human_report_df(
 
     digest here is md5 hex (cross-engine-reproducible display digest;
     the pipeline's grouping digest stays xxhash64 — SURVEY §2.8 F1
-    documents the signed-hex deviation)."""
-    w = Window.partitionBy(text_col)
-    c = docs.select(
+    documents the signed-hex deviation).  Member lines use the
+    reference's three-space indent (`say "   $_"`, Common.pm:234); the
+    one remaining format deviation is the omitted trailing blank line
+    per group (a row-oriented sink has no inter-group separator row).
+
+    Scale shape: the only text-derived values the report needs — md5
+    and length — are computed per-row in the scan projection, so the
+    grouping shuffle moves skinny (member, digest, md5, size) rows
+    keyed by xxhash64(text), never the corpus keyed by full text
+    (the exact.py skinny-row discipline applied to the report path)."""
+    skinny = docs.select(
         F.col(id_col).alias("member"),
-        F.col(text_col).alias("__text"),
-        F.min(id_col).over(w).alias("cluster_id"),
+        F.xxhash64(F.col(text_col)).alias("__digest"),
+        F.md5(F.col(text_col)).alias("__md5"),
+        F.length(text_col).cast("long").alias("__size"),
+    )
+    w = Window.partitionBy("__digest")
+    c = skinny.select(
+        "member",
+        "__md5",
+        "__size",
+        F.min("member").over(w).alias("cluster_id"),
         F.count(F.lit(1)).over(w).alias("n"),
     ).where(F.col("n") >= 2)
     headers = c.where(F.col("member") == F.col("cluster_id")).select(
@@ -67,9 +99,9 @@ def human_report_df(
         F.lit(0).cast("long").alias("line_no"),
         F.concat(
             F.lit("DUPLICATES (digest: "),
-            F.md5(F.col("__text")),
+            F.col("__md5"),
             F.lit(" | size: "),
-            F.length("__text").cast("string"),
+            F.col("__size").cast("string"),
             F.lit("b)"),
         ).alias("line"),
     )
@@ -77,7 +109,7 @@ def human_report_df(
     members = c.select(
         "cluster_id",
         F.row_number().over(wm).cast("long").alias("line_no"),
-        F.concat(F.lit("    "), F.col("member").cast("string")).alias("line"),
+        F.concat(F.lit("   "), F.col("member").cast("string")).alias("line"),
     )
     return headers.unionByName(members)
 
@@ -107,7 +139,8 @@ def human_report_lines(
     out = []
     for r in rows:
         out.append(f"DUPLICATES (digest: {r['digest']:x} | size: {r['size']}b)")
-        out.extend(f"    {m}" for m in r["members"])
+        # three-space member indent per the reference (Common.pm:234)
+        out.extend(f"   {m}" for m in r["members"])
     return out
 
 

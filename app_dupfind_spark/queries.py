@@ -79,6 +79,8 @@ PLANT_OFFSET = 1_000_000
 # those checks vacuously green.  Planting is deterministic and mirrored
 # literally in the SQL oracles.
 PLANT_DOC_N = 25
+ROBOT_MAX_MEMBERS = 100    # robot-report member-list cap (never silent)
+NGRAM_MAX_DF = 100         # shingle document-frequency cap (skew guard)
 
 CFG = DedupConfig()
 NEAR_CFG = DedupConfig(jaccard_threshold=NEAR_CLUSTER_TAU, span_enabled=False)
@@ -140,9 +142,18 @@ def q_weed_survivors(spark, sf_dir):
 
 def q_exact_dup_clusters(spark, sf_dir):
     """A3+O1/O3: every doc labeled with its exact-duplicate cluster
-    (cluster_id = min doc_id over byte-identical text)."""
-    d = _docs(spark, sf_dir)
-    w = Window.partitionBy("text")
+    (cluster_id = min doc_id over byte-identical text).
+
+    Grouping key is xxhash64(text), NOT the text itself: the window
+    shuffle moves 16-byte (doc_id, digest) rows instead of the whole
+    corpus keyed by full document text — the same skinny-row discipline
+    as the pipeline cascade (operators/exact.py).  The reference groups
+    by digest too (Common.pm:187); collision odds at 2^-64 are the
+    documented trade the pipeline already accepts (exact.py F1)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.xxhash64("text").alias("__digest")
+    )
+    w = Window.partitionBy("__digest")
     return d.select(
         "doc_id",
         F.min("doc_id").over(w).alias("cluster_id"),
@@ -160,9 +171,22 @@ def q_keep_first_per_key(spark, sf_dir):
 
 def q_robot_report(spark, sf_dir):
     """S7 robot sink: tab-joined sorted members per multi-member exact
-    cluster, one line per cluster (Common.pm:239-244)."""
-    return robot_report(q_exact_dup_clusters(spark, sf_dir), "doc_id").select(
-        "cluster_id", F.col("n_members").cast("long").alias("n_members"), "members"
+    cluster, one line per cluster (Common.pm:239-244), member list
+    capped at ROBOT_MAX_MEMBERS (full count + truncated flag kept).
+    Planted dups so the format/cap path is value-exercised, not an
+    empty frame (fixtures have no natural byte-identical texts)."""
+    d = _docs_planted(spark, sf_dir).select(
+        "doc_id", F.xxhash64("text").alias("__digest")
+    )
+    w = Window.partitionBy("__digest")
+    clusters = d.select(
+        "doc_id", F.min("doc_id").over(w).alias("cluster_id")
+    )
+    return robot_report(clusters, "doc_id", max_members=ROBOT_MAX_MEMBERS).select(
+        "cluster_id",
+        F.col("n_members").cast("long").alias("n_members"),
+        "members",
+        "truncated",
     )
 
 
@@ -184,8 +208,15 @@ def q_dup_summary_stats(spark, sf_dir):
 # --------------------------------------------------------------------
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Exact shingle-Jaccard similarity join (inverted index plan)."""
-    p = jaccard_pairs(_docs(spark, sf_dir), JACCARD_K, JACCARD_TAU, "doc_id", "text")
+    """Exact shingle-Jaccard similarity join (inverted index plan) with
+    the NGRAM_MAX_DF document-frequency cap active — the scale-safe
+    plan (boilerplate shingles in m docs make m² pairs) is the checked
+    artifact, and the number of capped shingles rides every row
+    (never-silent truncation, mirrored in the oracle CTE)."""
+    p = jaccard_pairs(
+        _docs(spark, sf_dir), JACCARD_K, JACCARD_TAU, "doc_id", "text",
+        max_shingle_df=NGRAM_MAX_DF, capped_count_col="n_capped_shingles",
+    )
     return p.select(
         "a",
         "b",
@@ -193,6 +224,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
         "jaccard",
+        "n_capped_shingles",
     )
 
 
@@ -622,10 +654,12 @@ nsh AS (
 )"""
 
 
-_JACCARD_PAIRS_CTE = f"""
+def _jaccard_pairs_cte(max_df: int | None = None) -> str:
+    cap = f" AND count(*) <= {max_df}" if max_df is not None else ""
+    return f"""
 WITH {_shingle_cte(JACCARD_K)},
 dfq AS (
-  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 2{cap}
 ),
 co AS (
   SELECT s1.doc_id AS a, s2.doc_id AS b, CAST(count(*) AS BIGINT) AS n_common
@@ -638,6 +672,9 @@ jp AS (
          round(co.n_common / CAST(na.n + nb.n - co.n_common AS DOUBLE), 6) AS jaccard
   FROM co JOIN nsh na ON na.doc_id = co.a JOIN nsh nb ON nb.doc_id = co.b
 )"""
+
+
+_JACCARD_PAIRS_CTE = _jaccard_pairs_cte()
 
 _FML_PROBE = (
     "CASE WHEN length(text) <= 32 THEN substr(text, 1, 32) "
@@ -681,14 +718,24 @@ FROM documents
 SELECT lang, source, doc_id FROM documents
 QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
 """,
-    "robot_report": """
-WITH c AS (
-  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id
-  FROM documents
+    "robot_report": f"""
+WITH {_PLANTED_CTE},
+c AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY text) AS cluster_id,
+         count(*) OVER (PARTITION BY text) AS n
+  FROM planted
+),
+m AS (
+  SELECT cluster_id, doc_id, n,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS rn
+  FROM c WHERE n >= 2
 )
-SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
-       string_agg(CAST(doc_id AS VARCHAR), chr(9) ORDER BY doc_id) AS members
-FROM c GROUP BY cluster_id HAVING count(*) >= 2
+SELECT cluster_id, CAST(max(n) AS BIGINT) AS n_members,
+       string_agg(CASE WHEN rn <= {ROBOT_MAX_MEMBERS} THEN CAST(doc_id AS VARCHAR) END,
+                  chr(9) ORDER BY doc_id) AS members,
+       max(n) > {ROBOT_MAX_MEMBERS} AS truncated
+FROM m GROUP BY cluster_id
 """,
     "dedup_keep_canonical": """
 SELECT doc_id, lang, source FROM documents
@@ -705,8 +752,13 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
 FROM c
 """,
     "ngram_jaccard_pairs": f"""
-{_JACCARD_PAIRS_CTE}
-SELECT a, b, n_common, n_a, n_b, jaccard FROM jp WHERE jaccard >= {JACCARD_TAU}
+{_jaccard_pairs_cte(NGRAM_MAX_DF)},
+capped AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_capped_shingles
+  FROM (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {NGRAM_MAX_DF})
+)
+SELECT a, b, n_common, n_a, n_b, jaccard, n_capped_shingles
+FROM jp, capped WHERE jaccard >= {JACCARD_TAU}
 """,
     "jaccard_components": f"""
 {_JACCARD_PAIRS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
@@ -967,7 +1019,7 @@ FROM m WHERE doc_id = cluster_id
 UNION ALL
 SELECT cluster_id,
        CAST(row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS BIGINT),
-       '    ' || CAST(doc_id AS VARCHAR)
+       '   ' || CAST(doc_id AS VARCHAR)
 FROM m
 """,
 }

@@ -36,7 +36,7 @@ def test_human_format_header_and_indent(spark, pages, cfg):
     lines = human_report_lines(_clusters(spark, pages, cfg), "url")
     assert lines[0].startswith("DUPLICATES (digest: ")
     assert "| size: " in lines[0]
-    assert lines[1].startswith("    ")
+    assert lines[1].startswith("   ") and not lines[1].startswith("    ")
     # clusters emitted in min-member order (ref Common.pm:248-251)
     headers = [i for i, l in enumerate(lines) if l.startswith("DUPLICATES")]
     firsts = [lines[i + 1].strip() for i in headers]
@@ -82,7 +82,65 @@ def test_human_report_df_matches_golden_format(spark):
     digest = hashlib.md5(b"same text here").hexdigest()
     assert rows == [
         ("u1", 0, f"DUPLICATES (digest: {digest} | size: 14b)"),
-        ("u1", 1, "    u1"),
-        ("u1", 2, "    u2"),
-        ("u1", 3, "    u3"),
+        ("u1", 1, "   u1"),
+        ("u1", 2, "   u2"),
+        ("u1", 3, "   u3"),
     ]
+
+
+def test_robot_report_member_cap_truncates_loudly(spark):
+    """A >max_members cluster lists only the first N sorted members but
+    keeps the full count and raises the truncated flag (never silent)."""
+    clusters = spark.createDataFrame(
+        [(i, 1) for i in range(1, 6)] + [(10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    rows = {
+        r["cluster_id"]: r
+        for r in robot_report(clusters, "doc_id", max_members=3).collect()
+    }
+    big = rows[1]
+    assert big["n_members"] == 5
+    assert big["members"] == "1\t2\t3"
+    assert big["truncated"] is True
+    small = rows[10]
+    assert small["n_members"] == 2
+    assert small["members"] == "10\t11"
+    assert small["truncated"] is False
+
+
+def _plan_exchanges(df) -> list[str]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [l for l in plan.splitlines() if "hashpartitioning" in l]
+
+
+def test_report_surface_never_shuffles_text(spark):
+    """Scale-shape assertion (VERDICT r2 #1): no exchange on the
+    exact-cluster/report surface is keyed by the raw text column — all
+    grouping shuffles ride xxhash64 digests / skinny columns."""
+    from app_dupfind_spark.operators.report import human_report_df
+
+    docs = spark.createDataFrame(
+        [("u1", "alpha beta"), ("u2", "alpha beta"), ("u3", "gamma")],
+        "url string, text string",
+    )
+    for df in (human_report_df(docs, "url", "text"),):
+        for line in _plan_exchanges(df):
+            assert "text#" not in line, line
+
+
+def test_exact_query_surface_never_shuffles_text(spark):
+    """Same assertion over the driver query surface built on
+    q_exact_dup_clusters (robot/keep-canonical/summary/human)."""
+    from app_dupfind_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    for q in (
+        Q.q_exact_dup_clusters,
+        Q.q_robot_report,
+        Q.q_dedup_keep_canonical,
+        Q.q_dup_summary_stats,
+        Q.q_human_report,
+    ):
+        for line in _plan_exchanges(q(spark, sf)):
+            assert "text#" not in line, (q.__name__, line)
