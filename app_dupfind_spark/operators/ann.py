@@ -198,11 +198,13 @@ def blocked_gemm_pairs(
     Memory contract: one block (n/B rows x dim doubles) must fit a
     task — pick B accordingly; replication factor is ~B/2 per side.
 
-    Parity note: numpy's blocked/SIMD summation can round the last bit
-    differently than a sequential fold; after round(6) the flip
-    probability per pair is ~1e-8 — the SQL-expression variant
-    (`embedding_near_dup_pairs`) remains the bitwise-exact-order
-    baseline."""
+    Parity: the GEMM is a PREFILTER (threshold minus one rounding
+    quantum of slack); surviving pairs are recomputed in strict
+    sequential fold order (np.cumsum accumulates left-to-right — the
+    exact operation order of the JVM `aggregate` fold and DuckDB's
+    list_dot_product), so the emitted cos_sim and the threshold
+    decision are bit-identical to the SQL-expression baseline
+    (`embedding_near_dup_pairs`) while the O(n²) bulk stays BLAS."""
     B = int(n_blocks)
     base = df.select(
         F.col(id_col).alias("id"),
@@ -238,16 +240,29 @@ def blocked_gemm_pairs(
         Bm = np.stack(rpdf["v_r"].to_numpy())
         na = np.sqrt(np.einsum("ij,ij->i", A, A))
         nb = np.sqrt(np.einsum("ij,ij->i", Bm, Bm))
-        sims = np.round((A @ Bm.T) / np.outer(na, nb), 6)
+        sims = (A @ Bm.T) / np.outer(na, nb)
         ids_a = lpdf["id"].to_numpy()
         ids_b = rpdf["id_r"].to_numpy()
-        mask = sims >= threshold
+        # GEMM as prefilter only: one rounding quantum of slack covers
+        # any last-bit divergence between blocked and sequential sums
+        mask = sims >= threshold - 1e-6
         if i == j:  # same block: strict upper triangle by id
             mask &= ids_a[:, None] < ids_b[None, :]
         ai, bi = np.nonzero(mask)
+        if len(ai) == 0:
+            return pd.DataFrame({"a": [], "b": [], "cos_sim": []})
+        # sequential-fold recompute for survivors only: cumsum
+        # accumulates strictly left-to-right, matching the JVM
+        # aggregate() fold and DuckDB's list_dot_product bit-for-bit
+        num = np.cumsum(A[ai] * Bm[bi], axis=1)[:, -1]
+        na_seq = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        nb_seq = np.sqrt(np.cumsum(Bm * Bm, axis=1)[:, -1])
+        cos = np.round(num / (na_seq[ai] * nb_seq[bi]), 6)
+        keep = cos >= threshold
+        ai, bi, cos = ai[keep], bi[keep], cos[keep]
         lo = np.minimum(ids_a[ai], ids_b[bi])
         hi = np.maximum(ids_a[ai], ids_b[bi])
-        return pd.DataFrame({"a": lo, "b": hi, "cos_sim": sims[ai, bi]})
+        return pd.DataFrame({"a": lo, "b": hi, "cos_sim": cos})
 
     return (
         left.groupBy("i", "j")

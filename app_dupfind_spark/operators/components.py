@@ -74,16 +74,29 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out
 
 
-def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+def _edge_checksum(edges: DataFrame) -> tuple[int, int, int]:
+    """(count, bit_xor of full 64-bit xxhash64(u,v), sum of 40-bit-
+    masked hashes) — the fixpoint identity of an edge SET.
+
+    bit_xor over the full hash is commutative and overflow-free under
+    ANSI (the input_fingerprint pattern, plans/pipeline.py), closing
+    the round-2 defect where a sum-of-masked-hashes collision between
+    two consecutive DIFFERENT edge sets would stop CC early with a
+    silently wrong clustering; the masked sum stays as an independent
+    second channel (a set pair colliding in all three simultaneously
+    has no construction short of engineering the hash itself)."""
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+        ).alias("xr"),
         # mask to 40 bits before summing: ANSI-safe (no long overflow
         # until ~8M billion rows) while still change-sensitive
         F.coalesce(
             F.sum(F.xxhash64("u", "v").bitwiseAND(F.lit((1 << 40) - 1))), F.lit(0)
         ).alias("chk"),
     ).collect()[0]
-    return row["n"], row["chk"]
+    return row["n"], row["xr"], row["chk"]
 
 
 def connected_components(

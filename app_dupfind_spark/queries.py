@@ -402,10 +402,10 @@ def q_ivf_recall_check(spark, sf_dir):
         allv, planted, cents, k=1, nprobe=IVF_NPROBE,
         id_col="vec_id", vec_col="embedding",
     ).where(F.col("rank") == 1)
-    ok = top1.where(
-        (F.col("neighbor_id") == F.col("query_id") - PLANT_OFFSET)
-        & (F.col("cos_sim") >= 0.999999)
-    )
+    # the invariant is "a cosine-1 neighbor is found" — NOT "the source
+    # id wins the tie": if the fixture ever holds another vector at
+    # cosine ~1 with a smaller id, rank-1 legitimately goes to it
+    ok = top1.where(F.col("cos_sim") >= 0.999999)
     n_q = planted.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
     n_ok = ok.agg(F.count(F.lit(1)).alias("__ok"))
     return n_q.crossJoin(n_ok).select(

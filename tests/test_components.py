@@ -75,3 +75,24 @@ def test_long_chain_converges(spark):
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert set(got.values()) == {0}
     assert len(got) == n + 1
+
+
+def test_fixpoint_checksum_distinguishes_old_sum_collision(spark):
+    """Round-2 defect: the fixpoint test compared (count, sum of
+    40-bit-masked xxhash64) — these two DIFFERENT edge sets collide
+    under that scheme (equal count, equal masked sum 340558332310,
+    found by birthday search over xxhash64 seed 42), so CC could have
+    declared a false fixpoint.  The (count, bit_xor, sum) triple must
+    tell them apart."""
+    from app_dupfind_spark.operators.components import _edge_checksum
+
+    set_a = [(3466, 1003466), (3806, 1003806)]
+    set_b = [(3815, 1003815), (4993, 1004993)]
+    ea = spark.createDataFrame(set_a, "u long, v long")
+    eb = spark.createDataFrame(set_b, "u long, v long")
+    ca, cb = _edge_checksum(ea), _edge_checksum(eb)
+    # the engineered collision: count and masked-sum channels agree
+    assert ca[0] == cb[0]
+    assert ca[2] == cb[2]
+    # the full-width bit_xor channel must separate them
+    assert ca != cb
