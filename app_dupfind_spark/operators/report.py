@@ -149,11 +149,38 @@ def keep_canonical(
 ) -> DataFrame:
     """S8 as a policy: the deduplicated corpus — one surviving row per
     cluster (the lex-first member), all non-cluster rows untouched.
-    On Iceberg: `MERGE INTO pages USING clusters ... WHEN MATCHED AND
-    NOT is_canonical THEN DELETE` — this DataFrame is that post-state."""
+    On Iceberg the same policy is an in-place MERGE DELETE — see
+    `keep_canonical_merge` below; this DataFrame is that post-state."""
     survivors = clusters.where(F.col("is_canonical")).select(id_col)
     losers = clusters.where(~F.col("is_canonical")).select(id_col)
     return pages.join(losers, id_col, "left_anti")
+
+
+def keep_canonical_merge_sql(
+    table: str, clusters_view: str, id_col: str = "url"
+) -> str:
+    """The S8 delete sink against an Iceberg table: one MERGE statement
+    deleting every non-canonical cluster member in place (atomic
+    snapshot commit; row-at-a-time unlink — Common.pm:263-300 — has no
+    distributed analog and the reference's interactive prompt is
+    deliberately unmapped, VERDICT r2)."""
+    return (
+        f"MERGE INTO {table} t USING {clusters_view} c "
+        f"ON t.{id_col} = c.{id_col} "
+        "WHEN MATCHED AND NOT c.is_canonical THEN DELETE"
+    )
+
+
+def keep_canonical_merge(
+    spark, table: str, clusters: DataFrame, id_col: str = "url"
+) -> None:
+    """Execute the S8 MERGE DELETE against an Iceberg (or any
+    MERGE-capable catalog) table.  Requires the runtime jar + catalog
+    conf; the seam-selection test exercises the statement construction,
+    the sandbox has no Iceberg runtime to run it (SURVEY §7)."""
+    view = "__dupfind_keep_canonical_clusters"
+    clusters.select(id_col, "is_canonical").createOrReplaceTempView(view)
+    spark.sql(keep_canonical_merge_sql(table, view, id_col))
 
 
 def dup_summary(clusters: DataFrame, n_scanned: int | None = None) -> DataFrame:

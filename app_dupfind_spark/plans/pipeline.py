@@ -87,11 +87,133 @@ def input_fingerprint(df: DataFrame, id_col: str) -> str:
     return f"input:{row['n']}:{row['h']}"
 
 
+def iceberg_runtime_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime jar is on the JVM classpath.
+    This sandbox ships none (SURVEY §7); a real cluster adds
+    `--packages org.apache.iceberg:iceberg-spark-runtime-...` plus the
+    catalog conf, and the selection below needs NO code edits."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class IcebergTableIO:
+    """Iceberg-backed stage checkpoints — the north_rule's storage
+    contract, same interface as the parquet TableIO:
+
+    - write: `df.writeTo(catalog.ns.stage).using('iceberg')
+      .createOrReplace()` — an atomic snapshot commit; concurrent or
+      failed runs can never expose a half-written stage (the parquet
+      seam's _manifest.json-written-last gives the same ordering).
+    - manifest: stored in the table's properties
+      (`dupfind.manifest` = the same JSON the parquet seam writes),
+      so resume state travels WITH the table through the catalog —
+      no side-channel filesystem path that an object store would lack.
+    - lineage: per-file row counts from the `.files` metadata table
+      (Iceberg's manifest lists), zero data-scan — the metadata-only
+      analog of reading local parquet footers.
+    - fingerprint extra: the committed snapshot_id rides the manifest,
+      so downstream fingerprints chain the actual snapshot identity,
+      and `input_fingerprint`'s content scan can be skipped by passing
+      a source snapshot id (pipeline.py:73-87 docstring).
+    """
+
+    MANIFEST_PROP = "dupfind.manifest"
+
+    def __init__(
+        self, spark: SparkSession, catalog: str, namespace: str = "dupfind"
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        self.spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}"
+        )
+
+    def table(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    def exists(self, name: str) -> bool:
+        return (
+            self.spark.catalog.tableExists(self.table(name))
+            and self.manifest(name) is not None
+        )
+
+    def manifest(self, name: str) -> dict | None:
+        if not self.spark.catalog.tableExists(self.table(name)):
+            return None
+        rows = self.spark.sql(
+            f"SHOW TBLPROPERTIES {self.table(name)}"
+        ).collect()
+        props = {r["key"]: r["value"] for r in rows}
+        blob = props.get(self.MANIFEST_PROP)
+        return json.loads(blob) if blob else None
+
+    def write(self, name: str, df: DataFrame, meta: dict) -> dict:
+        tbl = self.table(name)
+        df.writeTo(tbl).using("iceberg").createOrReplace()
+        snap = self.spark.sql(
+            f"SELECT snapshot_id FROM {tbl}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).first()
+        files = self.spark.sql(
+            f"SELECT file_path, record_count FROM {tbl}.files"
+        ).collect()
+        lineage = [
+            {"partition_id": i, "file": r["file_path"], "rows": r["record_count"]}
+            for i, r in enumerate(sorted(files, key=lambda r: r["file_path"]))
+        ]
+        manifest = dict(meta)
+        manifest["rows"] = sum(p["rows"] for p in lineage)
+        manifest["partitions"] = lineage
+        manifest["written_at"] = time.time()
+        manifest["snapshot_id"] = snap["snapshot_id"] if snap else None
+        blob = json.dumps(manifest).replace("'", "''")
+        self.spark.sql(
+            f"ALTER TABLE {tbl} SET TBLPROPERTIES "
+            f"('{self.MANIFEST_PROP}'='{blob}')"
+        )
+        return manifest
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.table(self.table(name))
+
+
+def make_table_io(
+    spark: SparkSession,
+    checkpoint_dir: str | Path,
+    table_format: str = "parquet",
+    iceberg_catalog: str | None = None,
+    iceberg_namespace: str = "dupfind",
+):
+    """Storage-seam selection, config-gated: `table_format='iceberg'`
+    (+ catalog name) binds the stage checkpoints to an Iceberg catalog;
+    anything else is the local parquet+manifest seam.  Call sites are
+    identical either way — a real cluster switches by config alone."""
+    if table_format == "iceberg":
+        if not iceberg_catalog:
+            raise ValueError(
+                "table_format='iceberg' requires iceberg_catalog "
+                "(a configured Spark catalog name)"
+            )
+        if not iceberg_runtime_available(spark):
+            raise RuntimeError(
+                "Iceberg runtime jar not on the classpath; add "
+                "iceberg-spark-runtime + catalog conf (SURVEY §7)"
+            )
+        return IcebergTableIO(spark, iceberg_catalog, iceberg_namespace)
+    return TableIO(spark, checkpoint_dir)
+
+
 class TableIO:
-    """Storage seam: parquet + manifest locally; the same interface
-    binds to an Iceberg catalog (`catalog.ns.table`) on a real cluster,
-    where writes become `writeTo(...).createOrReplace()` and deletes
-    become MERGE/DELETE."""
+    """Storage seam: parquet + manifest locally; `IcebergTableIO` above
+    is the catalog-backed twin (selected via `make_table_io`), where
+    writes are `writeTo(...).createOrReplace()` snapshot commits and
+    deletes become MERGE/DELETE (operators/report.py)."""
 
     def __init__(self, spark: SparkSession, root: str | Path):
         self.spark = spark
@@ -147,6 +269,9 @@ class PipelineRunner:
     # observations registered during the stage's build (A6)
     counters: dict[str, dict[str, float]] = field(default_factory=dict)
     # "parquet": durable checkpoints + manifests + resume (production).
+    # "iceberg": same contract against an Iceberg catalog (atomic
+    # snapshot commits, manifest in table properties) — requires the
+    # runtime jar + `iceberg_catalog`; identical stage graph.
     # "memory": localCheckpoint per stage — same stage graph and
     # materialization points, no durable storage, NO resume.  Exists
     # because stage-output durability is a cluster-storage concern: in
@@ -154,6 +279,8 @@ class PipelineRunner:
     # core-count-independent and would masquerade as poor executor
     # scaling in benchmarks.
     persist_mode: str = "parquet"
+    iceberg_catalog: str | None = None
+    iceberg_namespace: str = "dupfind"
     _pending_obs: dict[str, list[tuple[str, Observation]]] = field(
         default_factory=dict, repr=False
     )
@@ -162,8 +289,17 @@ class PipelineRunner:
     _skip_fp: dict[str, str] = field(default_factory=dict, repr=False)
 
     def __post_init__(self):
-        self.io = TableIO(self.spark, self.checkpoint_dir)
-        Path(self.checkpoint_dir).mkdir(parents=True, exist_ok=True)
+        self.io = make_table_io(
+            self.spark,
+            self.checkpoint_dir,
+            table_format=(
+                "iceberg" if self.persist_mode == "iceberg" else "parquet"
+            ),
+            iceberg_catalog=self.iceberg_catalog,
+            iceberg_namespace=self.iceberg_namespace,
+        )
+        if self.persist_mode != "iceberg":
+            Path(self.checkpoint_dir).mkdir(parents=True, exist_ok=True)
 
     # ---- in-flight metrics (A6) ------------------------------------
 
