@@ -19,9 +19,16 @@ State discipline (the only sane contract at unbounded scale):
   idle buckets age out with the watermark, so total state is
   O(active buckets x cap), independent of stream length.
 
-Emission: one row per (new doc, stored match) with Hamming <= gate,
-per band — a pair sharing several bands emits once per band; dedup
-downstream if exactly-once pairs are needed (documented, not hidden).
+Emission: the raw matcher emits one row per (new doc, stored match)
+per band — a pair sharing several bands surfaces once per band, all
+within the ONE micro-batch where the later doc arrives (the earlier
+doc is state).  `run_near_dup_file_stream` therefore collapses each
+micro-batch to one row per (a, b) in its foreachBatch sink (min
+hamming / max estimate / min band — deterministic), which makes pair
+emission exactly-once end-to-end for once-delivered ids; a re-delivered
+id is guarded against self-matching and REPLACES its state entry, but
+will legitimately re-report its pairs in the later batch (at-least-once
+under upstream re-delivery — documented, not hidden).
 
 The reference is strictly batch (SURVEY §1.2); this is a graft
 extension required by the training-data-pipeline brief
@@ -135,13 +142,27 @@ def make_bucket_matcher(
                         (ham <= max_hamming) | (est >= jaccard_threshold)
                     )[0]
                     for i in hits:
+                        # re-delivered id (re-crawled URL, duplicated
+                        # upstream record) must not match its own
+                        # stored entry as a degenerate (X, X) pair
+                        if ids[i] == doc_id:
+                            continue
                         out_a.append(ids[i])
                         out_b.append(doc_id)
                         out_h.append(int(ham[i]))
                         out_j.append(round(float(est[i]), 6))
-                ids.append(doc_id)
-                sims.append(int(sh))
-                sketches.extend(int(v) for v in sk)
+                if doc_id in ids:
+                    # re-delivery REPLACES the stored entry in place
+                    # (latest signature wins) instead of duplicating it
+                    i = ids.index(doc_id)
+                    sims[i] = int(sh)
+                    sketches[i * SKETCH_PERMS:(i + 1) * SKETCH_PERMS] = [
+                        int(v) for v in sk
+                    ]
+                else:
+                    ids.append(doc_id)
+                    sims.append(int(sh))
+                    sketches.extend(int(v) for v in sk)
             if out_a:
                 yield pd.DataFrame(
                     {
@@ -178,6 +199,14 @@ def near_dup_stream(
     same band layout — a doc hashes to the same buckets online and
     offline); the bucket self-join becomes bounded keyed state."""
     cfg = cfg or DedupConfig()
+    if cfg.num_perm < SKETCH_PERMS:
+        # F.slice would silently yield short sketch arrays and the
+        # matcher's reshape(len(ids), SKETCH_PERMS) would die at runtime
+        raise ValueError(
+            f"cfg.num_perm ({cfg.num_perm}) must be >= SKETCH_PERMS "
+            f"({SKETCH_PERMS}) — the state sketch is the leading "
+            f"{SKETCH_PERMS} MinHash permutations"
+        )
     minhash_udf = make_minhash_udf(cfg)
     simhash_udf = make_simhash_udf(cfg)
     hashed = (
@@ -233,16 +262,33 @@ def run_near_dup_file_stream(
     max_files_per_trigger: int = 1,
 ):
     """File-source wiring, one file per micro-batch (so cross-batch
-    state is actually exercised), drained with availableNow."""
+    state is actually exercised), drained with availableNow.
+
+    The foreachBatch sink collapses per-band duplicate emissions to
+    exactly one row per (a, b) pair per micro-batch (see module
+    docstring): min hamming, max estimate, min band — a deterministic
+    reduction, not an arbitrary dropDuplicates survivor."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
     matches = near_dup_stream(stream, watermark=watermark)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("a", "b")
+            .agg(
+                F.min("hamming").alias("hamming"),
+                F.max("est_jaccard").alias("est_jaccard"),
+                F.min("band").alias("band"),
+            )
+            .write.mode("append")
+            .parquet(output_dir)
+        )
+
     return (
-        matches.writeStream.format("parquet")
-        .option("path", output_dir)
+        matches.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

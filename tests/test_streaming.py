@@ -65,13 +65,16 @@ def test_near_dup_stream_matches_across_microbatches(spark, tmp_path):
     )
     q.awaitTermination(180)
 
-    out = spark.read.parquet(str(tmp_path / "out"))
-    pairs = {(r["a"], r["b"]) for r in out.collect()}
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    pairs = {(r["a"], r["b"]) for r in rows}
     assert ("uA", "uA2") in pairs          # cross-batch exact dup
     assert ("uA", "uA3") in pairs          # cross-batch near dup
     assert not any("uC" in p for pair in pairs for p in pair)
+    # exactly-once: an exact dup shares all 32 band buckets, yet each
+    # (a, b) pair must surface exactly ONE row across all micro-batches
+    assert len(rows) == len(pairs)
     # exact dup: hamming 0 in some band
-    h = {(r["a"], r["b"]): r["hamming"] for r in out.collect()}
+    h = {(r["a"], r["b"]): r["hamming"] for r in rows}
     assert h[("uA", "uA2")] == 0
 
 
@@ -129,3 +132,85 @@ def test_bucket_matcher_fifo_cap_and_gates():
     out = list(fn((0, 7), iter(batch([("u5", -1, far_sk)])), st))
     got = {(a, b) for df in out for a, b in zip(df["a"], df["b"])}
     assert got == {("u4", "u5")}  # only u4 has sim == -1
+
+
+def test_bucket_matcher_redelivery_guard():
+    """A re-delivered doc id must not emit a degenerate (X, X) self
+    pair, and must REPLACE its stored state entry (latest signature
+    wins) rather than append a duplicate."""
+    import pandas as pd
+
+    from app_dupfind_spark.streaming.stream_near_dup import (
+        SKETCH_PERMS,
+        make_bucket_matcher,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists, self.hasTimedOut, self._v = False, False, None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v, self.exists = v, True
+        def remove(self):
+            self.exists = False
+        def getCurrentWatermarkMs(self):
+            return 0
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+    fn = make_bucket_matcher(
+        max_hamming=3, jaccard_threshold=0.7, max_bucket_state=8, ttl_ms=1000
+    )
+    st = FakeState()
+    ts = pd.Timestamp("2024-01-01", tz="UTC")
+
+    def batch(rows):
+        return [pd.DataFrame({
+            "id": [r[0] for r in rows],
+            "ts": [ts] * len(rows),
+            "sim": [r[1] for r in rows],
+            "sketch": [r[2] for r in rows],
+            "band": [0] * len(rows),
+            "band_hash": [7] * len(rows),
+        })]
+
+    sk = list(range(SKETCH_PERMS))
+    list(fn((0, 7), iter(batch([("u1", 0, sk)])), st))
+    # u1 re-delivered: no (u1, u1) pair, state still holds ONE u1 entry
+    out = list(fn((0, 7), iter(batch([("u1", 5, sk)])), st))
+    got = {(a, b) for df in out for a, b in zip(df["a"], df["b"])}
+    assert got == set()
+    ids, sims, sketches = st.get
+    assert list(ids) == ["u1"]
+    assert list(sims) == [5]               # replaced, latest wins
+    assert len(sketches) == SKETCH_PERMS
+    # a genuinely new doc still matches the (single) stored entry
+    out = list(fn((0, 7), iter(batch([("u2", 5, sk)])), st))
+    got = {(a, b) for df in out for a, b in zip(df["a"], df["b"])}
+    assert got == {("u1", "u2")}
+
+
+def test_near_dup_stream_rejects_narrow_minhash(spark):
+    """num_perm < SKETCH_PERMS must die at plan time with a clear
+    error, not at runtime inside the matcher's reshape."""
+    import pytest
+
+    from app_dupfind_spark.config import DedupConfig
+    from app_dupfind_spark.streaming.stream_near_dup import near_dup_stream
+
+    stream = (
+        spark.readStream.format("rate").load()
+        .selectExpr(
+            "cast(value as string) as url",
+            "timestamp as warc_ts",
+            "cast(null as binary) as html",
+            "'text' as text",
+            "'en' as lang",
+        )
+    )
+    with pytest.raises(ValueError, match="SKETCH_PERMS"):
+        near_dup_stream(
+            stream, DedupConfig(num_perm=16, lsh_bands=4, lsh_rows=4)
+        )
