@@ -374,13 +374,24 @@ def ivf_topk(
     )
 
 
+def lsh_planes(
+    dim: int, bands: int, rows_per_band: int, seed: int
+) -> np.ndarray:
+    """The (dim, bands*rows_per_band) hyperplane matrix — the single
+    source of truth shared by the executor UDF and any driver-side
+    construction that must agree with it bit-for-bit (e.g. the
+    multi-probe recall-property query plants pairs engineered against
+    these exact planes)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, bands * rows_per_band))
+
+
 def make_band_codes_udf(dim: int, bands: int, rows_per_band: int, seed: int):
     """pandas UDF: embedding -> array of `bands` LSH band codes, each
     packing `rows_per_band` hyperplane sign bits.  Hyperplanes drawn
     once from a seeded Generator at definition time — deterministic
     across partitions, task retries, and row order."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, bands * rows_per_band))
+    planes = lsh_planes(dim, bands, rows_per_band, seed)
     r = rows_per_band
     weights = 1 << np.arange(r, dtype=np.int64)
 

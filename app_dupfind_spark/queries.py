@@ -381,6 +381,107 @@ def q_embedding_ann_recall(spark, sf_dir):
     ).crossJoin(missed.agg(F.count(F.lit(1)).cast("long").alias("n_missed")))
 
 
+MULTIPROBE_N = 12          # engineered pairs for the multi-probe check
+MULTIPROBE_SEED = 777      # construction seed (NOT the plane seed)
+MULTIPROBE_A_BASE = 3_000_000
+MULTIPROBE_B_BASE = 4_000_000
+
+
+def _multiprobe_plants() -> list[tuple[list[float], list[float]]]:
+    """MULTIPROBE_N (v, c) vector pairs engineered against the ACTUAL
+    seeded hyperplanes (ann.lsh_planes — the same matrix the executor
+    UDF uses) such that, deterministically:
+      - every band's sign code differs between v and c  -> probe_bits=0
+        can never bucket them together (n_missed_probe0 == N);
+      - at least one band differs in EXACTLY one sign bit -> probe_bits=1
+        (single-bit-flip probing) always buckets them;
+      - cos(v, c) >= ANN_TAU + margin                    -> the exact
+        re-rank keeps the pair.
+    Construction: reflect v across the min-|projection| plane of each
+    band in turn, then verify all three properties numerically and
+    reject failures (cross-talk between reflections).  Projection
+    magnitudes are also required > 1e-6 so executor-side GEMM rounding
+    can never flip a sign vs this driver-side matvec.  Pure numpy on
+    the driver, no Spark action, fully deterministic."""
+    import numpy as np
+
+    planes = ann.lsh_planes(EMB_DIM, ANN_BANDS, ANN_ROWS, CFG.seed)
+    rng = np.random.default_rng(MULTIPROBE_SEED)
+    out: list[tuple[list[float], list[float]]] = []
+    while len(out) < MULTIPROBE_N:
+        v = rng.standard_normal(EMB_DIM)
+        v /= np.linalg.norm(v)
+        c = v.copy()
+        for b in range(ANN_BANDS):
+            block = planes[:, b * ANN_ROWS:(b + 1) * ANN_ROWS]
+            j = int(np.argmin(np.abs(c @ block)))
+            n = block[:, j] / np.linalg.norm(block[:, j])
+            c = c - 2.0 * float(c @ n) * n
+        bits_v = (v @ planes) > 0
+        bits_c = (c @ planes) > 0
+        ham = (
+            bits_v.reshape(ANN_BANDS, ANN_ROWS)
+            != bits_c.reshape(ANN_BANDS, ANN_ROWS)
+        ).sum(axis=1)
+        cos = float(v @ c) / float(np.linalg.norm(v) * np.linalg.norm(c))
+        margin = min(np.abs(v @ planes).min(), np.abs(c @ planes).min())
+        if (
+            (ham >= 1).all()
+            and (ham == 1).any()
+            and cos >= ANN_TAU + 1e-4
+            and margin > 1e-6
+        ):
+            out.append(([float(x) for x in v], [float(x) for x in c]))
+    return out
+
+
+def q_ann_multiprobe_recall_check(spark, sf_dir):
+    """Recall-property oracle for the multi-probe branch of the banded
+    hyperplane LSH (ann.py probe_bits>=1): plant engineered
+    near-identical pairs (see _multiprobe_plants) into the embeddings
+    corpus; probe_bits=0 must miss ALL of them (control column — the
+    planting provably defeats plain bucketing) and probe_bits=1 must
+    miss NONE (single-bit flips close the recall).  Both counts are
+    certainties by construction, so the oracle is constant."""
+    plants = _multiprobe_plants()
+    rows = [
+        (MULTIPROBE_A_BASE + i, v) for i, (v, _) in enumerate(plants)
+    ] + [
+        (MULTIPROBE_B_BASE + i, c) for i, (_, c) in enumerate(plants)
+    ]
+    planted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    base = _embs(spark, sf_dir).select(
+        "vec_id", as_double_array(F.col("embedding")).alias("embedding")
+    )
+    allv = base.unionByName(planted)
+    truth = spark.createDataFrame(
+        [(MULTIPROBE_A_BASE + i, MULTIPROBE_B_BASE + i)
+         for i in range(len(plants))],
+        "a long, b long",
+    )
+    found0, _ = ann.banded_lsh_neighbors(
+        allv, ANN_TAU, dim=EMB_DIM, bands=ANN_BANDS, rows_per_band=ANN_ROWS,
+        seed=CFG.seed, id_col="vec_id", vec_col="embedding", probe_bits=0,
+    )
+    found1, _ = ann.banded_lsh_neighbors(
+        allv, ANN_TAU, dim=EMB_DIM, bands=ANN_BANDS, rows_per_band=ANN_ROWS,
+        seed=CFG.seed, id_col="vec_id", vec_col="embedding", probe_bits=1,
+    )
+    m0 = truth.join(found0.select("a", "b"), ["a", "b"], "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_missed_probe0")
+    )
+    m1 = truth.join(found1.select("a", "b"), ["a", "b"], "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_missed_probe1")
+    )
+    return (
+        truth.agg(F.count(F.lit(1)).cast("long").alias("n_planted"))
+        .crossJoin(m0)
+        .crossJoin(m1)
+    )
+
+
 def q_ivf_recall_check(spark, sf_dir):
     """Recall-property oracle for the IVF (coarse-quantized) ANN path:
     plant PLANT_N byte-identical vector copies; each copy's IVF top-1
@@ -923,6 +1024,11 @@ SELECT CAST(count(*) AS BIGINT) AS n_queries,
        CAST(0 AS BIGINT) AS n_missed
 FROM embeddings WHERE vec_id < {PLANT_N}
 """,
+    "ann_multiprobe_recall_check": f"""
+SELECT CAST({MULTIPROBE_N} AS BIGINT) AS n_planted,
+       CAST({MULTIPROBE_N} AS BIGINT) AS n_missed_probe0,
+       CAST(0 AS BIGINT) AS n_missed_probe1
+""",
     "minhash_stats": f"""
 WITH {_shingle_cte(JACCARD_K)}
 SELECT d.doc_id,
@@ -1045,6 +1151,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_ann_recall": q_embedding_ann_recall,
+    "ann_multiprobe_recall_check": q_ann_multiprobe_recall_check,
     "ivf_recall_check": q_ivf_recall_check,
     "minhash_stats": q_minhash_stats,
     "lsh_recall_check": q_lsh_recall_check,
