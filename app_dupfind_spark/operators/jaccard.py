@@ -145,6 +145,10 @@ def jaccard_pairs(
 
     # document frequency per shingle; singleton shingles can't pair
     dfreq_all = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if capped_count_col is not None and materialize:
+        # two consumers (the pairing filter + the truncation counter):
+        # bind the aggregate once instead of re-running it per branch
+        dfreq_all = dfreq_all.localCheckpoint(eager=True)
     dfreq = dfreq_all.where(F.col("df") >= 2)
     if max_shingle_df is not None:
         dfreq = dfreq.where(F.col("df") <= max_shingle_df)

@@ -63,6 +63,92 @@ def _pipeline_full(spark, sf_dir):
     return clusters
 
 
+def ensure_scale2_fixture(
+    base_sf_dir: str,
+    out_dir: str = "scratch/sf_synth50k",
+    n_docs: int = 50_000,
+    n_vecs: int = 20_000,
+    seed: int = 7,
+) -> str:
+    """Deterministic 10x scale point (50k docs / 20k embeddings) so the
+    suite numbers leave the fixed-cost regime that 5k docs sits in
+    (BASELINE.md).  Statistically mirrors the sf0.1 tables: vocabulary
+    and length distribution are TAKEN FROM the sf0.1 documents
+    themselves (no external data), ~2% near-dup copies planted for
+    realistic dedup work; embeddings are seeded unit-ish gaussians
+    around 10 label centroids at the same dim.  Pure pyarrow/numpy —
+    built once, cached on disk, never committed (scratch/)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = Path(__file__).resolve().parent / out_dir
+    if (root / "documents.parquet").exists() and (
+        root / "embeddings.parquet"
+    ).exists():
+        return str(root)
+    root.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    base = pq.read_table(f"{base_sf_dir}/documents.parquet")
+    texts = base.column("text").to_pylist()
+    vocab = sorted({w for t in texts for w in t.split()})
+    lengths = np.array([len(t.split()) for t in texts])
+
+    docs_text: list[str] = []
+    n_words = rng.choice(lengths, size=n_docs)
+    for i in range(n_docs):
+        docs_text.append(" ".join(rng.choice(vocab, size=int(n_words[i]))))
+    # ~2% near-dup copies: overwrite a later doc with a word-substituted
+    # copy of an earlier one (deterministic targets)
+    n_pairs = n_docs // 50
+    srcs = rng.choice(n_docs // 2, size=n_pairs, replace=False)
+    dsts = n_docs // 2 + srcs
+    for s, d in zip(srcs, dsts):
+        w = docs_text[int(s)].split()
+        for j in range(0, len(w), 17):           # ~6% of words edited
+            w[j] = vocab[int(rng.integers(len(vocab)))]
+        docs_text[int(d)] = " ".join(w)
+    langs = [str(l) for l in base.column("lang").to_pylist()]
+    sources = sorted({str(s) for s in base.column("source").to_pylist()})
+    doc_tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(docs_text),
+            "lang": pa.array(
+                [langs[i % len(langs)] for i in range(n_docs)]
+            ),
+            "source": pa.array(
+                [sources[i % len(sources)] for i in range(n_docs)]
+            ),
+            "n_chars": pa.array(
+                [len(t) for t in docs_text], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(doc_tbl, root / "documents.parquet")
+
+    dim = len(pq.read_table(f"{base_sf_dir}/embeddings.parquet")
+              .column("embedding")[0])
+    labels = rng.integers(0, 10, size=n_vecs)
+    # centroid scale 0.4: mean intra-label cosine ~0.15, so the 0.4-tau
+    # near-dup join keeps a realistic (sparse) pair density like sf0.1
+    cents = rng.standard_normal((10, dim)) * 0.4
+    vecs = cents[labels] + rng.standard_normal((n_vecs, dim))
+    vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype(
+        np.float32
+    )
+    emb_tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(emb_tbl, root / "embeddings.parquet")
+    return str(root)
+
+
 def run(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
     from app_dupfind_spark.queries import QUERIES
     from app_dupfind_spark.session import get_spark
@@ -117,7 +203,22 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     names = sys.argv[1:] or None
-    print(json.dumps(run(sf_dir, cpus, names)))
+    out = run(sf_dir, cpus, names)
+    # second scale point, one order of magnitude up (VERDICT r2 #8):
+    # shows the per-query curve leaving the fixed-cost regime.  Opt out
+    # with SPARK_GRAFT_SCALE2=0; never allowed to sink the primary run.
+    if names is None and os.environ.get("SPARK_GRAFT_SCALE2", "1") != "0":
+        try:
+            sf2 = ensure_scale2_fixture(sf_dir)
+            out2 = run(sf2, cpus)
+            out2["sf"] = "synth50k"
+            out["scale2"] = {
+                k: out2[k]
+                for k in ("sf", "value", "queries", "n_docs", "docs_per_sec")
+            }
+        except Exception as e:  # pragma: no cover - diagnostics only
+            out["scale2_error"] = f"{type(e).__name__}: {e}"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
