@@ -140,6 +140,8 @@ def near_dup_pipeline(
     order_col: str = "warc_ts",
     persist_mode: str = "parquet",
     source_fingerprint: str | None = None,
+    iceberg_catalog: str | None = None,
+    iceberg_namespace: str = "dupfind",
 ) -> tuple[DataFrame, PipelineRunner]:
     """Run (or resume) the full pipeline; returns (clusters, runner).
 
@@ -154,9 +156,12 @@ def near_dup_pipeline(
     checkpoint dir at a different input can never silently resume the
     old corpus (the staleness hazard of count-only fingerprints).
     """
-    runner = PipelineRunner(spark, cfg, checkpoint_dir, persist_mode=persist_mode)
+    runner = PipelineRunner(
+        spark, cfg, checkpoint_dir, persist_mode=persist_mode,
+        iceberg_catalog=iceberg_catalog, iceberg_namespace=iceberg_namespace,
+    )
 
-    if source_fingerprint is None and persist_mode == "parquet":
+    if source_fingerprint is None and persist_mode in ("parquet", "iceberg"):
         source_fingerprint = input_fingerprint(pages, id_col)
 
     def _canon() -> DataFrame:

@@ -51,7 +51,7 @@ def parse_config(kvs: list[str]) -> DedupConfig:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    ap.add_argument("--input", default=None, help="pages parquet path")
     ap.add_argument("--checkpoint-dir", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--config", nargs="*", default=[])
@@ -64,11 +64,31 @@ def main() -> None:
              "staleness checks; omitted -> a content fingerprint is "
              "computed in one column-pruned pass",
     )
+    ap.add_argument(
+        "--input-table", default=None,
+        help="read the pages from a catalog table (e.g. an Iceberg "
+             "table identifier) instead of --input's path",
+    )
+    ap.add_argument(
+        "--persist-mode", default="parquet",
+        choices=("parquet", "iceberg", "memory"),
+        help="stage-checkpoint storage: parquet+manifest (default), "
+             "an Iceberg catalog (needs --iceberg-catalog + runtime "
+             "jar), or in-memory (no resume)",
+    )
+    ap.add_argument("--iceberg-catalog", default=None)
+    ap.add_argument("--iceberg-namespace", default="dupfind")
     args = ap.parse_args()
+    if bool(args.input) == bool(args.input_table):
+        ap.error("exactly one of --input / --input-table is required")
 
     cfg = parse_config(args.config)
     spark = get_spark(app_name="dupfind-pipeline")
-    pages = spark.read.parquet(args.input)
+    pages = (
+        spark.read.table(args.input_table)
+        if args.input_table
+        else spark.read.parquet(args.input)
+    )
     clusters, runner = near_dup_pipeline(
         spark,
         pages,
@@ -77,7 +97,10 @@ def main() -> None:
         id_col=args.id_col,
         text_col=args.text_col,
         order_col=args.order_col,
+        persist_mode=args.persist_mode,
         source_fingerprint=args.source_fingerprint,
+        iceberg_catalog=args.iceberg_catalog,
+        iceberg_namespace=args.iceberg_namespace,
     )
     clusters.write.mode("overwrite").parquet(args.output)
     # the reference prints a per-stage run summary (App.pm:194-219);
