@@ -596,10 +596,12 @@ def q_simhash_exact_parity(spark, sf_dir):
     natural byte-identical pairs, so the check would be vacuous."""
     d = _docs_planted(spark, sf_dir)
     sigs = signatures(d, CFG, "doc_id", "text")
-    t = d.select("doc_id", "text")
+    # byte-identical pairs found via xxhash64 equality (skinny 8-byte
+    # join key, not the full text — same discipline as exact.py)
+    t = d.select("doc_id", F.xxhash64("text").alias("__h"))
     pairs = (
         t.alias("x")
-        .join(t.alias("y"), F.col("x.text") == F.col("y.text"))
+        .join(t.alias("y"), F.col("x.__h") == F.col("y.__h"))
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
     )
@@ -659,21 +661,26 @@ def q_span_check(spark, sf_dir):
         cand, d, cfg.min_span_chars, "doc_id", "text",
         max_chars=cfg.span_max_chars,
     ).localCheckpoint(eager=True)
+    # per-row derived columns in the scan projection; the dup join
+    # rides the 8-byte digest, never the full text
     t = d.select(
-        "doc_id", "text", F.size(T.tokens(F.col("text"))).alias("__nt")
+        "doc_id",
+        F.xxhash64("text").alias("__h"),
+        F.length("text").cast("long").alias("__len"),
+        F.size(T.tokens(F.col("text"))).alias("__nt"),
     )
     ex = (
         t.alias("x")
-        .join(t.alias("y"), F.col("x.text") == F.col("y.text"))
+        .join(t.alias("y"), F.col("x.__h") == F.col("y.__h"))
         .where(
             (F.col("x.doc_id") < F.col("y.doc_id"))
-            & (F.length("x.text") >= SPAN_CHECK_MIN)
+            & (F.col("x.__len") >= SPAN_CHECK_MIN)
             & (F.col("x.__nt") >= SPAN_WORDS)
         )
         .select(
             F.col("x.doc_id").alias("a"),
             F.col("y.doc_id").alias("b"),
-            F.length("x.text").cast("long").alias("len"),
+            F.col("x.__len").alias("len"),
         )
     )
     bad_exact = ex.join(spans, ["a", "b"], "left").where(
