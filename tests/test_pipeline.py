@@ -234,3 +234,20 @@ def test_input_change_invalidates_same_checkpoint_dir(spark, pages, tmp_path):
     clusters2, runner2 = near_dup_pipeline(spark, smaller, cfg, ckpt)
     assert not any(m["resumed"] for m in runner2.metrics if m["stage"] == "canon")
     assert clusters2.count() == smaller.count()
+
+
+def test_estimate_mode_end_to_end(spark, pages, corpus, tmp_path):
+    """verify_mode='estimate' (MinHash estimate OR SimHash Hamming, no
+    second shingle touch) must also clear the recall gate on the
+    fixtures: the near archetypes sit far above the threshold and the
+    border archetypes far below, so estimator noise (sigma ~0.044 at
+    num_perm=128) cannot flip either side."""
+    cfg = DedupConfig(verify_mode="estimate")
+    clusters, _ = near_dup_pipeline(
+        spark, pages, cfg, str(tmp_path / "ckpt_est"), persist_mode="memory"
+    )
+    rows = [(r["url"], r["cluster_id"]) for r in clusters.collect()]
+    found = _pairs_from_clusters(rows)
+    truth = corpus.pair_set(None)
+    assert len(found & truth) / len(truth) == 1.0
+    assert not (found - truth), f"false pairs: {found - truth}"
