@@ -273,11 +273,13 @@ class PipelineRunner:
     # snapshot commits, manifest in table properties) — requires the
     # runtime jar + `iceberg_catalog`; identical stage graph.
     # "memory": localCheckpoint per stage — same stage graph and
-    # materialization points, no durable storage, NO resume.  Exists
-    # because stage-output durability is a cluster-storage concern: in
-    # this sandbox every byte funnels through one virtio disk, which is
-    # core-count-independent and would masquerade as poor executor
-    # scaling in benchmarks.
+    # materialization points, no durable storage, NO resume.  For
+    # micro-benchmarks that want zero storage I/O in the loop; NOTE the
+    # round-3 measurement (BASELINE.md): at 3M docs the parquet path is
+    # FASTER at high parallelism (571 s vs 929 s at local[8]) because
+    # block-manager-resident stage outputs pressure the single JVM's
+    # heap exactly when all cores allocate, while parquet rides the OS
+    # page cache — the durable path is also the fast path.
     persist_mode: str = "parquet"
     iceberg_catalog: str | None = None
     iceberg_namespace: str = "dupfind"

@@ -11,6 +11,7 @@ Usage: _scaling_job.py <pages_parquet> <cpus> [persist_mode]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import tempfile
 import time
@@ -27,10 +28,27 @@ from app_dupfind_spark.session import get_spark  # noqa: E402
 def main() -> None:
     pages_path, cpus = sys.argv[1], int(sys.argv[2])
     persist_mode = sys.argv[3] if len(sys.argv) > 3 else "parquet"
+    # Shuffle partitions are DATA-sized, not core-sized, and therefore
+    # IDENTICAL at every parallelism level — the north_rule compares
+    # the same job at N vs 4N, so the only thing allowed to vary is
+    # the core count.  Target ~63k docs/partition (~100-200 MB of
+    # signature/pair state): measured on this corpus, 8 partitions
+    # leaves cores idle behind stragglers at local[8] (664 s) while 48
+    # both smooths skew and gives AQE room to coalesce (571 s), and
+    # local[2] is insensitive to the difference.  SPARK_GRAFT_SHUFFLE
+    # overrides for experiments.
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetDataset(pages_path).read(columns=["url"]).num_rows
+    shuffle = int(
+        os.environ.get(
+            "SPARK_GRAFT_SHUFFLE", max(8, min(256, n_rows // 63_000))
+        )
+    )
     spark = get_spark(
         app_name=f"scaling-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 8),
+        shuffle_partitions=shuffle,
     )
     pages = spark.read.parquet(pages_path)
     n_docs = pages.count()
