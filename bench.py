@@ -2,8 +2,19 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {...}, "sf": ..., "docs_per_sec": ..., "cpus": ...}
+  {"metric": "...", "value": <total of per-query medians>, "unit": "sec",
+   "queries": {name: median}, "spread": {name: {median,iqr,min,max,samples}},
+   "reps": R, "sf": ..., "docs_per_sec": ..., "cpus": ...}
+
+Variance protocol (VERDICT r3 #1): each query is repeated
+``SPARK_GRAFT_BENCH_REPS`` times (default 5) INTERLEAVED — the rep loop
+is outer, the query loop inner — so slow drift on a noisy co-tenant box
+(documented +/-30% on this machine) hits every query's sample set
+equally instead of biasing whichever query ran last.  ``queries`` keeps
+the scalar the driver reads (the median); ``spread`` carries
+median/IQR/min/max plus the raw samples so a round-over-round claim can
+be checked for overlap.  For a paired same-session A/B of two code
+versions, use scripts/paired_compare.py.
 
 Every query is forced through the noop datasource sink (full plan
 executes JVM-side, nothing collects to the driver).
@@ -149,7 +160,40 @@ def ensure_scale2_fixture(
     return str(root)
 
 
-def run(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
+def _stats(samples: list[float]) -> dict:
+    """Median + inter-quartile spread of one query's timing samples.
+    Linear-interpolated quartiles (numpy default) on the sorted list."""
+    import statistics
+
+    s = sorted(samples)
+    n = len(s)
+    if n == 1:
+        return {
+            "median": s[0], "iqr": 0.0, "min": s[0], "max": s[0],
+            "samples": [round(x, 3) for x in s],
+        }
+
+    def _q(p: float) -> float:
+        idx = p * (n - 1)
+        lo = int(idx)
+        hi = min(lo + 1, n - 1)
+        return s[lo] + (idx - lo) * (s[hi] - s[lo])
+
+    return {
+        "median": round(statistics.median(s), 3),
+        "iqr": round(_q(0.75) - _q(0.25), 3),
+        "min": round(s[0], 3),
+        "max": round(s[-1], 3),
+        "samples": [round(x, 3) for x in s],
+    }
+
+
+def run(
+    sf_dir: str,
+    cpus: int,
+    names: list[str] | None = None,
+    reps: int = 5,
+) -> dict:
     from app_dupfind_spark.queries import QUERIES
     from app_dupfind_spark.session import get_spark
 
@@ -176,13 +220,19 @@ def run(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
         warm.select("doc_id"), "doc_id"
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in names or (HEADLINE + ["pipeline_full"]):
-        fn = _pipeline_full if name == "pipeline_full" else QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    query_names = names or (HEADLINE + ["pipeline_full"])
+    samples: dict[str, list[float]] = {n: [] for n in query_names}
+    # rep loop OUTER, query loop INNER: interleaved repetitions so box
+    # drift lands on every query's sample set, not on one query
+    for _rep in range(max(1, reps)):
+        for name in query_names:
+            fn = _pipeline_full if name == "pipeline_full" else QUERIES[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
+    spread = {n: _stats(s) for n, s in samples.items()}
+    timings = {n: spread[n]["median"] for n in query_names}
     total = round(sum(timings.values()), 3)
     pipeline_t = timings.get("near_dup_clusters")
     out = {
@@ -190,6 +240,8 @@ def run(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "reps": max(1, reps),
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": cpus,
         "n_docs": n_docs,
@@ -202,19 +254,26 @@ def run(sf_dir: str, cpus: int, names: list[str] | None = None) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     names = sys.argv[1:] or None
-    out = run(sf_dir, cpus, names)
+    out = run(sf_dir, cpus, names, reps=reps)
     # second scale point, one order of magnitude up (VERDICT r2 #8):
     # shows the per-query curve leaving the fixed-cost regime.  Opt out
     # with SPARK_GRAFT_SCALE2=0; never allowed to sink the primary run.
+    # Fewer reps by default (it prices a 10x-scale RATIO, not a
+    # round-over-round delta) — still >=2 so a spread is recorded.
     if names is None and os.environ.get("SPARK_GRAFT_SCALE2", "1") != "0":
         try:
+            reps2 = int(os.environ.get("SPARK_GRAFT_BENCH_REPS_SCALE2", "2"))
             sf2 = ensure_scale2_fixture(sf_dir)
-            out2 = run(sf2, cpus)
+            out2 = run(sf2, cpus, reps=reps2)
             out2["sf"] = "synth50k"
             out["scale2"] = {
                 k: out2[k]
-                for k in ("sf", "value", "queries", "n_docs", "docs_per_sec")
+                for k in (
+                    "sf", "value", "queries", "spread", "reps",
+                    "n_docs", "docs_per_sec",
+                )
             }
         except Exception as e:  # pragma: no cover - diagnostics only
             out["scale2_error"] = f"{type(e).__name__}: {e}"
