@@ -105,6 +105,11 @@ class DedupConfig:
     # --- execution ---
     shuffle_partitions: int = 32
     salt_buckets: int = 16      # salting fan-out for skewed aggregations
+    # intra-stage fan-out barrier strategy (plans/barriers.py):
+    # 'local' (localCheckpoint — fastest, not executor-loss tolerant),
+    # 'reliable' (checkpoint to sc checkpoint dir — cluster default),
+    # 'persist' (DISK_ONLY_2 — middle ground, keeps lineage)
+    barrier_strategy: str = "local"
 
     extra: dict = field(default_factory=dict, compare=False, hash=False)
 
@@ -123,6 +128,11 @@ class DedupConfig:
             )
         if self.shingle_k < 1 or self.probe_width < 1:
             raise ValueError("shingle_k and probe_width must be >= 1")
+        if self.barrier_strategy not in ("local", "reliable", "persist"):
+            raise ValueError(
+                f"barrier_strategy must be 'local', 'reliable' or "
+                f"'persist', got {self.barrier_strategy!r}"
+            )
         if self.verify_mode not in ("exact", "estimate"):
             raise ValueError(
                 f"verify_mode must be 'exact' or 'estimate', got {self.verify_mode!r}"

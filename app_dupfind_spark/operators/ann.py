@@ -49,6 +49,7 @@ from pyspark.sql.types import (
 )
 
 from app_dupfind_spark.functions.vectors import as_double_array, dot, l2_norm
+from app_dupfind_spark.plans.barriers import materialize_barrier
 
 
 def cosine_topk(
@@ -418,6 +419,7 @@ def banded_lsh_neighbors(
     bucket_cap: int = 2000,
     probe_bits: int = 0,
     materialize: bool = True,
+    barrier_strategy: str = "local",
 ) -> tuple[DataFrame, DataFrame]:
     """Scale path: (near-dup pairs, skew report).
 
@@ -449,7 +451,7 @@ def banded_lsh_neighbors(
     if materialize:
         # the UDF lineage fans out three ways (both join sides of the
         # bucket join + the re-rank vector lookup) — bind it once
-        base = base.localCheckpoint(eager=True)
+        base = materialize_barrier(base, strategy=barrier_strategy)
 
     memb = base.select("id", F.posexplode("codes").alias("band", "code"))
 

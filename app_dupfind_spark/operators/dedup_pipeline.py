@@ -49,6 +49,7 @@ from app_dupfind_spark.operators.jaccard import exact_jaccard_for_pairs
 from app_dupfind_spark.operators.minhash_lsh import candidate_pairs, signatures
 from app_dupfind_spark.operators.spans import span_candidates, shared_span_pairs
 from app_dupfind_spark.operators.verify import attach_signatures, verify_pairs
+from app_dupfind_spark.plans.barriers import materialize_barrier
 from app_dupfind_spark.plans.pipeline import PipelineRunner, input_fingerprint
 
 
@@ -105,7 +106,7 @@ def _exact_verify(
         .select("a", "b", "est")
     )
     # pairs-only frame feeding two branches: bind it once
-    scored = scored.localCheckpoint(eager=True)
+    scored = materialize_barrier(scored, cfg)
     clear = scored.where(F.col("est") >= tau + m).select(
         "a",
         "b",
@@ -117,7 +118,10 @@ def _exact_verify(
         (F.col("est") < tau + m) & (F.col("est") > tau - m)
     ).select("a", "b")
     exact = (
-        exact_jaccard_for_pairs(border, docs, cfg.shingle_k, id_col, text_col)
+        exact_jaccard_for_pairs(
+            border, docs, cfg.shingle_k, id_col, text_col,
+            barrier_strategy=cfg.barrier_strategy,
+        )
         .where(F.col("jaccard") >= tau)
         .select(
             "a",

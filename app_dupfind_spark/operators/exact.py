@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from app_dupfind_spark.config import DedupConfig
 from app_dupfind_spark.functions.probes import WEED_PASS_REGISTRY
+from app_dupfind_spark.plans.barriers import materialize_barrier
 
 # xxhash64('' , seed=42) — Spark's pinned seed.  The reference assigns
 # all zero-size files the digest of the empty string without reading
@@ -180,7 +181,7 @@ def exact_dup_cascade(
             counters["scan"], F.count(F.lit(1)).alias("scan_members")
         )
     if materialize:
-        skinny = skinny.localCheckpoint(eager=True)
+        skinny = materialize_barrier(skinny, cfg)
 
     # Stage 1: same-size candidates (A1 + P2).
     survivors = having_at_least(

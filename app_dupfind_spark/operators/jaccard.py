@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from app_dupfind_spark.functions.text import token_hashes, window_hashes
+from app_dupfind_spark.plans.barriers import materialize_barrier
 from app_dupfind_spark.plans.partitioning import ensure_min_partitions
 
 
@@ -68,6 +69,7 @@ def exact_jaccard_for_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     materialize: bool = True,
+    barrier_strategy: str = "local",
 ) -> DataFrame:
     """Exact shingle-Jaccard for a GIVEN pair list (a, b) — the
     pair-targeted verifier behind cfg.verify_mode='exact'.
@@ -93,7 +95,7 @@ def exact_jaccard_for_pairs(
     sh = doc_shingles(sub, k, id_col, text_col)
     if materialize:
         # the shingle table feeds both join roles; bind it once
-        sh = sh.localCheckpoint(eager=True)
+        sh = materialize_barrier(sh, strategy=barrier_strategy)
     sa = sh.select(
         F.col(id_col).alias("a"), F.col("n_shingles").alias("n_a"), "shingle"
     )
@@ -127,6 +129,7 @@ def jaccard_pairs(
     max_shingle_df: int | None = None,
     materialize: bool = True,
     capped_count_col: str | None = None,
+    barrier_strategy: str = "local",
 ) -> DataFrame:
     """All unordered pairs (a < b) with exact shingle-Jaccard >= threshold.
 
@@ -141,14 +144,17 @@ def jaccard_pairs(
         # the index fans out three ways (document frequency + both join
         # sides); materialize once so the shingle computation doesn't
         # re-run per branch
-        exploded = exploded.localCheckpoint(eager=True)
+        exploded = materialize_barrier(exploded, strategy=barrier_strategy)
 
     # document frequency per shingle; singleton shingles can't pair
     dfreq_all = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    if capped_count_col is not None and materialize:
+    if capped_count_col is not None and max_shingle_df is not None:
         # two consumers (the pairing filter + the truncation counter):
-        # bind the aggregate once instead of re-running it per branch
-        dfreq_all = dfreq_all.localCheckpoint(eager=True)
+        # bind the aggregate once instead of re-running the full
+        # explode+groupBy per branch.  Unconditional on `materialize`:
+        # with materialize=False the unbarriered aggregate would
+        # roughly DOUBLE the most expensive stage (ADVICE r3).
+        dfreq_all = materialize_barrier(dfreq_all, strategy=barrier_strategy)
     dfreq = dfreq_all.where(F.col("df") >= 2)
     if max_shingle_df is not None:
         dfreq = dfreq.where(F.col("df") <= max_shingle_df)

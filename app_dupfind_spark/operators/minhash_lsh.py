@@ -38,6 +38,7 @@ from app_dupfind_spark.functions.hashing import (
     make_simhash_udf,
 )
 from app_dupfind_spark.functions.text import token_hashes, window_hashes
+from app_dupfind_spark.plans.barriers import materialize_barrier
 from app_dupfind_spark.plans.partitioning import ensure_min_partitions
 
 
@@ -117,7 +118,7 @@ def candidate_pairs(
         # re-evaluation penalty when fed the raw UDF plan.  Callers
         # whose sigs already sit behind a stage checkpoint pass
         # sigs_materialized=True and skip this duplicate barrier.
-        sigs = sigs.localCheckpoint(eager=True)
+        sigs = materialize_barrier(sigs, cfg)
     buckets = band_buckets(sigs, cfg, id_col)
 
     w = Window.partitionBy("band", "band_hash")
@@ -126,7 +127,7 @@ def candidate_pairs(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.lsh_bucket_cap)
     ).select("band", "band_hash", id_col, "bucket_size")
     if materialize:
-        member = member.localCheckpoint(eager=True)
+        member = materialize_barrier(member, cfg)
 
     skew_report = (
         sized.where(F.col("bucket_size") > cfg.lsh_bucket_cap)

@@ -35,6 +35,7 @@ from pyspark.sql.types import (
 
 from app_dupfind_spark.config import DedupConfig
 from app_dupfind_spark.functions.text import token_hashes, window_hashes
+from app_dupfind_spark.plans.barriers import materialize_barrier
 from app_dupfind_spark.plans.partitioning import ensure_min_partitions
 
 
@@ -84,7 +85,7 @@ def span_candidates(
     # (window_hashes is array_distinct per doc — rows arrive unique,
     # no extra distinct shuffle needed.)  The index fans out three ways
     # (dfreq + both self-join sides): materialize once.
-    sh = sh.localCheckpoint(eager=True)
+    sh = materialize_barrier(sh, cfg)
     dfreq = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))

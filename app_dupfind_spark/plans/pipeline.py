@@ -302,6 +302,15 @@ class PipelineRunner:
         )
         if self.persist_mode != "iceberg":
             Path(self.checkpoint_dir).mkdir(parents=True, exist_ok=True)
+        if self.cfg.barrier_strategy == "reliable":
+            # intra-stage reliable barriers need an RDD checkpoint dir;
+            # nest it under the stage-checkpoint root (on a cluster
+            # both live on the shared store)
+            from app_dupfind_spark.plans.barriers import ensure_checkpoint_dir
+
+            ensure_checkpoint_dir(
+                self.spark, str(Path(str(self.checkpoint_dir)) / "_rdd_ckpt")
+            )
 
     # ---- in-flight metrics (A6) ------------------------------------
 
