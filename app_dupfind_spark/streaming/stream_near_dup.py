@@ -24,11 +24,19 @@ per band — a pair sharing several bands surfaces once per band, all
 within the ONE micro-batch where the later doc arrives (the earlier
 doc is state).  `run_near_dup_file_stream` therefore collapses each
 micro-batch to one row per (a, b) in its foreachBatch sink (min
-hamming / max estimate / min band — deterministic), which makes pair
-emission exactly-once end-to-end for once-delivered ids; a re-delivered
-id is guarded against self-matching and REPLACES its state entry, but
-will legitimately re-report its pairs in the later batch (at-least-once
-under upstream re-delivery — documented, not hidden).
+hamming / max estimate / min band — deterministic).  Cross-batch,
+each bucket's state carries the FINGERPRINTS of pairs it has already
+emitted: a re-delivered id (re-crawled URL, duplicated upstream
+record) is guarded against self-matching, REPLACES its state entry,
+and its previously-reported pairs are SUPPRESSED — so pair emission
+is exactly-once end-to-end under upstream re-delivery, up to the
+bounded fingerprint retention (`max_emitted_state` FIFO per bucket;
+an evicted fingerprint degrades that pair to at-least-once) and the
+2^-64 per-comparison fingerprint collision odds (a collision
+suppresses a would-be pair).  The sink itself is idempotent in
+batch_id (mode('overwrite') into output_dir/batch_id=<N>): a
+micro-batch replayed after a crash mid-write overwrites its own
+partition instead of appending duplicates.
 
 The reference is strictly batch (SURVEY §1.2); this is a graft
 extension required by the training-data-pipeline brief
@@ -82,8 +90,22 @@ STATE_SCHEMA = StructType(
         StructField("sims", ArrayType(LongType())),
         # member-major flattened (n_members x SKETCH_PERMS)
         StructField("sketches", ArrayType(LongType())),
+        # int64 fingerprints of (a, b) pairs this bucket has emitted —
+        # the cross-batch exactly-once guard (FIFO-bounded)
+        StructField("emitted", ArrayType(LongType())),
     ]
 )
+
+
+def _pair_fingerprint(a: str, b: str) -> int:
+    """Stable 64-bit fingerprint of an ordered pair, identical across
+    executors and restarts (unlike Python's salted hash())."""
+    import hashlib
+
+    d = hashlib.blake2b(
+        a.encode() + b"\x00" + b.encode(), digest_size=8
+    ).digest()
+    return int.from_bytes(d, "big", signed=True)
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
@@ -98,11 +120,14 @@ def make_bucket_matcher(
     jaccard_threshold: float,
     max_bucket_state: int,
     ttl_ms: int,
+    max_emitted_state: int = 4096,
 ):
     """The applyInPandasWithState function for one (band, band_hash)
     bucket: compare arrivals against stored members (vectorized XOR +
     popcount for Hamming; sketch-agreement mean for estimated Jaccard),
-    emit matches, append arrivals to bounded FIFO state."""
+    emit matches not already fingerprinted in state (cross-batch
+    exactly-once under re-delivery), append arrivals to bounded FIFO
+    state."""
 
     def match_bucket(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
@@ -111,12 +136,14 @@ def make_bucket_matcher(
             state.remove()
             return
         if state.exists:
-            ids_l, sims_l, sk_l = state.get
+            ids_l, sims_l, sk_l, em_l = state.get
             ids = list(ids_l or [])
             sims = list(sims_l or [])
             sketches = list(sk_l or [])
+            emitted = list(em_l or [])
         else:
-            ids, sims, sketches = [], [], []
+            ids, sims, sketches, emitted = [], [], [], []
+        emitted_set = set(emitted)
         band = int(key[0])
         max_event_ms = 0
         for pdf in pdfs:
@@ -147,6 +174,14 @@ def make_bucket_matcher(
                         # stored entry as a degenerate (X, X) pair
                         if ids[i] == doc_id:
                             continue
+                        # cross-batch exactly-once: a pair this bucket
+                        # already reported (the partner arrived again)
+                        # is suppressed, not re-emitted
+                        fp = _pair_fingerprint(ids[i], doc_id)
+                        if fp in emitted_set:
+                            continue
+                        emitted_set.add(fp)
+                        emitted.append(fp)
                         out_a.append(ids[i])
                         out_b.append(doc_id)
                         out_h.append(int(ham[i]))
@@ -173,11 +208,14 @@ def make_bucket_matcher(
                         "band": pd.array([band] * len(out_a), dtype="int32"),
                     }
                 )
-        # bounded FIFO state + watermark-anchored TTL
+        # bounded FIFO state + watermark-anchored TTL; emitted
+        # fingerprints share the FIFO discipline (evicting one degrades
+        # that single pair to at-least-once — bounded state wins)
         ids = ids[-max_bucket_state:]
         sims = sims[-max_bucket_state:]
         sketches = sketches[-max_bucket_state * SKETCH_PERMS:]
-        state.update((ids, sims, sketches))
+        emitted = emitted[-max_emitted_state:]
+        state.update((ids, sims, sketches, emitted))
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(max_event_ms, wm + 1) + ttl_ms)
 
@@ -267,7 +305,13 @@ def run_near_dup_file_stream(
     The foreachBatch sink collapses per-band duplicate emissions to
     exactly one row per (a, b) pair per micro-batch (see module
     docstring): min hamming, max estimate, min band — a deterministic
-    reduction, not an arbitrary dropDuplicates survivor."""
+    reduction, not an arbitrary dropDuplicates survivor.  foreachBatch
+    is at-least-once (a batch can replay after a crash mid-write), so
+    the write is made idempotent in batch_id: mode('overwrite') into
+    output_dir/batch_id=<N> — a replay overwrites its own partition
+    rather than appending it twice.  Read the sink with
+    spark.read.parquet(output_dir) (partition discovery surfaces
+    batch_id as a column)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -283,8 +327,8 @@ def run_near_dup_file_stream(
                 F.max("est_jaccard").alias("est_jaccard"),
                 F.min("band").alias("band"),
             )
-            .write.mode("append")
-            .parquet(output_dir)
+            .write.mode("overwrite")
+            .parquet(f"{output_dir}/batch_id={batch_id}")
         )
 
     return (

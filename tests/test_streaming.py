@@ -59,6 +59,12 @@ def test_near_dup_stream_matches_across_microbatches(spark, tmp_path):
         [("uA2", t, b"", base, "en"), ("uA3", t, b"", near, "en")],
         schema,
     ).coalesce(1).write.mode("append").parquet(str(src))
+    # file 3 -> micro-batch 3: uA2 RE-DELIVERED (same url, same content,
+    # a later micro-batch) — its (uA, uA2) pair was already reported in
+    # batch 2 and must NOT surface again (VERDICT r3 #3)
+    spark.createDataFrame(
+        [("uA2", t, b"", base, "en")], schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
 
     q = run_near_dup_file_stream(
         spark, str(src), str(tmp_path / "out"), str(tmp_path / "ck")
@@ -70,12 +76,31 @@ def test_near_dup_stream_matches_across_microbatches(spark, tmp_path):
     assert ("uA", "uA2") in pairs          # cross-batch exact dup
     assert ("uA", "uA3") in pairs          # cross-batch near dup
     assert not any("uC" in p for pair in pairs for p in pair)
-    # exactly-once: an exact dup shares all 32 band buckets, yet each
-    # (a, b) pair must surface exactly ONE row across all micro-batches
+    # exactly-once ACROSS batches: an exact dup shares all 32 band
+    # buckets AND uA2 was delivered twice in different micro-batches,
+    # yet each (a, b) pair surfaces exactly ONE row in the whole sink
     assert len(rows) == len(pairs)
     # exact dup: hamming 0 in some band
     h = {(r["a"], r["b"]): r["hamming"] for r in rows}
     assert h[("uA", "uA2")] == 0
+
+
+def test_stream_replay_matches_batch_pairs(spark, tmp_path):
+    """Deterministic replay artifact (VERDICT r3 #8): the full fixture
+    corpus delivered as a fixed file sequence through the stream must
+    produce EXACTLY the batch gate's pair set at the stream's sketch
+    width — stateful matcher, micro-batching, re-delivery guards and
+    the idempotent sink change nothing.  scripts/stream_replay_check.py
+    runs the same function and records STREAM_CORRECTNESS.json."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from stream_replay_check import run_check
+
+    result = run_check(spark, str(tmp_path))
+    assert result["equal"], result
+    assert result["stream_pairs"] > 0
 
 
 def test_bucket_matcher_fifo_cap_and_gates():
@@ -182,7 +207,7 @@ def test_bucket_matcher_redelivery_guard():
     out = list(fn((0, 7), iter(batch([("u1", 5, sk)])), st))
     got = {(a, b) for df in out for a, b in zip(df["a"], df["b"])}
     assert got == set()
-    ids, sims, sketches = st.get
+    ids, sims, sketches, emitted = st.get
     assert list(ids) == ["u1"]
     assert list(sims) == [5]               # replaced, latest wins
     assert len(sketches) == SKETCH_PERMS
@@ -190,6 +215,15 @@ def test_bucket_matcher_redelivery_guard():
     out = list(fn((0, 7), iter(batch([("u2", 5, sk)])), st))
     got = {(a, b) for df in out for a, b in zip(df["a"], df["b"])}
     assert got == {("u1", "u2")}
+    # u2 re-delivered in a LATER batch: the (u1, u2) pair is already
+    # fingerprinted in bucket state and must not be re-emitted
+    out = list(fn((0, 7), iter(batch([("u2", 5, sk)])), st))
+    got = {(a, b) for df in out for a, b in zip(df["a"], df["b"])}
+    assert got == set()
+    # while a genuinely NEW pair from the same bucket still emits
+    out = list(fn((0, 7), iter(batch([("u3", 5, sk)])), st))
+    got = {(a, b) for df in out for a, b in zip(df["a"], df["b"])}
+    assert got == {("u1", "u3"), ("u2", "u3")}
 
 
 def test_near_dup_stream_rejects_narrow_minhash(spark):
