@@ -95,6 +95,100 @@ def cosine_topk(
     )
 
 
+def cosine_pairs_vs_queries(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """All unordered pairs (a < b, cos_sim >= threshold) with at least
+    one endpoint in `queries` — EXACT, but bounded: the query matrix
+    rides to every task (driver-materialized, capped at `max_queries`
+    rows — the IVF centroid-sketch precedent) and the corpus streams
+    through ONE mapInPandas GEMM pass: O(|corpus| x |queries|) BLAS
+    instead of the all-pairs O(|corpus|^2) cogroup.
+
+    This is the truth-side operator for recall properties over PLANTED
+    pairs (every planted pair has a planted endpoint, so restricting
+    truth to query-incident pairs loses nothing) — VERDICT r3 #5: the
+    unbounded GEMM truth was quadratic and would dominate the bench at
+    the next scale point.
+
+    Parity contract (same as blocked_gemm_pairs): the GEMM is a
+    prefilter with one rounding quantum of slack; survivors recompute
+    dot and norms in strict sequential (cumsum) order, so emitted
+    cos_sim values and threshold decisions are bit-identical to the
+    JVM `aggregate` fold and DuckDB's list_dot_product.
+    """
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("qid"),
+            as_double_array(F.col(vec_col)).alias("qv"),
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"queries side exceeds max_queries={max_queries}; this "
+            "operator broadcasts the query matrix — use "
+            "blocked_gemm_pairs or banded_lsh_neighbors for large sides"
+        )
+    qids = np.array([r["qid"] for r in q_rows])
+    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    nq_gemm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    nq_seq = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
+
+    id_field = [f for f in corpus.select(F.col(id_col)).schema.fields][0]
+    out_schema = StructType(
+        [
+            StructField("a", id_field.dataType),
+            StructField("b", id_field.dataType),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def score(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            ids = pdf["cid"].to_numpy()
+            nv = np.sqrt(np.einsum("ij,ij->i", V, V))
+            sims = (V @ Q.T) / np.outer(nv, nq_gemm)
+            mask = (sims >= threshold - 1e-6) & (
+                ids[:, None] != qids[None, :]
+            )
+            ci, qi = np.nonzero(mask)
+            if len(ci) == 0:
+                continue
+            num = np.cumsum(V[ci] * Q[qi], axis=1)[:, -1]
+            nv_seq = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            cos = np.round(num / (nv_seq[ci] * nq_seq[qi]), 6)
+            keep = cos >= threshold
+            ci, qi, cos = ci[keep], qi[keep], cos[keep]
+            if len(ci) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "a": np.minimum(ids[ci], qids[qi]),
+                    "b": np.maximum(ids[ci], qids[qi]),
+                    "cos_sim": cos,
+                }
+            )
+
+    cand = corpus.select(
+        F.col(id_col).alias("cid"),
+        as_double_array(F.col(vec_col)).alias("v"),
+    ).mapInPandas(score, out_schema)
+    # a pair with BOTH endpoints in the query set meets twice (each
+    # side once in the query role) — dedupe; cos_sim identical both
+    # times (same sequential recompute), max is a deterministic pick
+    return cand.groupBy("a", "b").agg(F.max("cos_sim").alias("cos_sim"))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float,
@@ -490,14 +584,44 @@ def banded_lsh_neighbors(
 
     va = base.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"))
     vb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
-    pairs = (
-        cand.join(va, "a")
-        .join(vb, "b")
-        .withColumn(
-            "cos_sim",
-            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
-        )
-        .where(F.col("cos_sim") >= threshold)
-        .select("a", "b", "cos_sim")
+    joined = cand.join(va, "a").join(vb, "b")
+
+    # exact-cosine re-rank, VECTORIZED: correlated corpora put many
+    # pairs in shared buckets, and an interpreted per-pair `dot` fold
+    # was the dominant cost at 20k vectors (~17 s -> ~2 s).  The numpy
+    # row-wise cumsum accumulates strictly left-to-right — the same
+    # operation order as the JVM aggregate fold / DuckDB
+    # list_dot_product — and the norms were bound per-row pre-join, so
+    # emitted values and threshold decisions are unchanged bit-for-bit.
+    id_type = [f for f in base.schema.fields if f.name == "id"][0].dataType
+    rerank_schema = StructType(
+        [
+            StructField("a", id_type),
+            StructField("b", id_type),
+            StructField("cos_sim", DoubleType()),
+        ]
     )
+
+    def rerank(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            A = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            Bv = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            num = np.cumsum(A * Bv, axis=1)[:, -1]
+            cos = np.round(
+                num / (pdf["na"].to_numpy() * pdf["nb"].to_numpy()), 6
+            )
+            keep = cos >= threshold
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "a": pdf["a"].to_numpy()[keep],
+                    "b": pdf["b"].to_numpy()[keep],
+                    "cos_sim": cos[keep],
+                }
+            )
+
+    pairs = joined.mapInPandas(rerank, rerank_schema)
     return pairs, skew_report
