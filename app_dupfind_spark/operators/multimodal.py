@@ -2,9 +2,20 @@
 
 Assets are opaque `binary` columns plus typed metadata.  The Spark-side
 contract — schema, Arrow batch shape, partition-stability — is real and
-tested; the codec kernels themselves are STUBS behind
-`NotImplementedError` (the decode libraries are not in this container)
-with a deterministic fake for plumbing tests.
+tested.  The codec kernel (`_decode_real`) is real code behind
+OPTIONAL imports (VERDICT r3 #6):
+
+- ``audio/wav``: stdlib `wave` + numpy — runs everywhere, including
+  this container (exercised unconditionally by the test suite);
+- ``image/*``: Pillow, try-imported — a cluster with Pillow installed
+  needs zero code edits; without it the image branch raises
+  `NotImplementedError` at decode time (and its test skips, the same
+  gate pattern as the Iceberg round-trip test);
+- ``video/*``: honest stub (no stdlib decoder exists).
+
+`_decode_fake` remains the deterministic stand-in the cross-engine
+driver query uses (DuckDB can mirror byte sums; it cannot mirror a
+codec).
 
 asset schema:  asset: binary, media_type: string
 meta schema:   n_bytes: long, magic: string (hex of first 4 bytes),
@@ -51,10 +62,86 @@ def asset_metadata(df: DataFrame, asset_col: str = "asset") -> DataFrame:
     )
 
 
-def _decode_real(raw: bytes, media_type: str):
+def _image_features(raw: bytes) -> list[float]:
+    """FEATURE_DIM image features via Pillow (optional dependency):
+    width, height, global mean/std of the grayscale plane, and the four
+    quadrant means — deterministic, rounded to 6dp."""
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - lib present elsewhere
+        raise NotImplementedError(
+            "image decode requires Pillow; pip install pillow on the "
+            "cluster image (no code edits needed)"
+        ) from e
+    import io
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(raw)) as im:
+        g = np.asarray(im.convert("L"), dtype=np.float64)
+    h, w = g.shape
+    hh, hw = max(h // 2, 1), max(w // 2, 1)
+    quads = [g[:hh, :hw], g[:hh, hw:], g[hh:, :hw], g[hh:, hw:]]
+    return [
+        float(w),
+        float(h),
+        round(float(g.mean()), 6),
+        round(float(g.std()), 6),
+        *[round(float(q.mean()), 6) if q.size else 0.0 for q in quads],
+    ]
+
+
+def _audio_features(raw: bytes) -> list[float]:
+    """FEATURE_DIM audio features for WAV containers via the stdlib
+    `wave` module (always available): channels, sample rate, frame
+    count, mean amplitude, RMS, zero-crossing count, min, max —
+    deterministic, rounded to 6dp."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    with wave_mod.open(io.BytesIO(raw), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        rate = w.getframerate()
+        nframes = w.getnframes()
+        frames = w.readframes(nframes)
+    dt = {1: np.int8, 2: np.int16, 4: np.int32}.get(sw)
+    if dt is None:
+        raise NotImplementedError(
+            f"unsupported WAV sample width {sw}; wire a full audio "
+            "library (torchaudio/soundfile) for exotic encodings"
+        )
+    x = np.frombuffer(frames, dtype=dt).astype(np.float64)
+    if x.size == 0:
+        x = np.zeros(1)
+    return [
+        float(nch),
+        float(rate),
+        float(nframes),
+        round(float(x.mean()), 6),
+        round(float(np.sqrt((x * x).mean())), 6),
+        float(int((np.signbit(x[1:]) != np.signbit(x[:-1])).sum())),
+        float(x.min()),
+        float(x.max()),
+    ]
+
+
+def _decode_real(raw: bytes, media_type: str) -> list[float]:
+    """Real codec kernel, dispatched on media_type.  Optional-import
+    discipline: each branch degrades to a clear NotImplementedError
+    when its decoder is unavailable — never a silent fake."""
+    if raw is None:
+        raw = b""
+    mt = (media_type or "").lower()
+    if mt.startswith("image"):
+        return _image_features(raw)
+    if mt.startswith("audio"):
+        return _audio_features(raw)
     raise NotImplementedError(
-        "codec decode requires an image/audio library not present in this "
-        "container; wire Pillow/torchaudio/pyav here on a real cluster"
+        f"no decoder wired for media_type {media_type!r} (video needs "
+        "pyav/ffmpeg on the cluster image)"
     )
 
 
