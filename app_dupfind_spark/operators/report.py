@@ -86,14 +86,20 @@ def human_report_df(
         F.md5(F.col(text_col)).alias("__md5"),
         F.length(text_col).cast("long").alias("__size"),
     )
-    w = Window.partitionBy("__digest")
-    c = skinny.select(
-        "member",
-        "__md5",
-        "__size",
-        F.min("member").over(w).alias("cluster_id"),
-        F.count(F.lit(1)).over(w).alias("n"),
-    ).where(F.col("n") >= 2)
+    # join-based HAVING, not a digest count window (VERDICT r3 #7): a
+    # mega-cluster would funnel one window partition through one task;
+    # the aggregate gets map-side combine and the join is AQE-splittable
+    agg = (
+        skinny.groupBy("__digest")
+        .agg(
+            F.min("member").alias("cluster_id"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    c = skinny.join(agg, "__digest").select(
+        "member", "__md5", "__size", "cluster_id"
+    )
     headers = c.where(F.col("member") == F.col("cluster_id")).select(
         "cluster_id",
         F.lit(0).cast("long").alias("line_no"),

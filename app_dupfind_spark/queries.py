@@ -152,20 +152,28 @@ def q_exact_dup_clusters(spark, sf_dir):
     """A3+O1/O3: every doc labeled with its exact-duplicate cluster
     (cluster_id = min doc_id over byte-identical text).
 
-    Grouping key is xxhash64(text), NOT the text itself: the window
-    shuffle moves 16-byte (doc_id, digest) rows instead of the whole
-    corpus keyed by full document text — the same skinny-row discipline
-    as the pipeline cascade (operators/exact.py).  The reference groups
-    by digest too (Common.pm:187); collision odds at 2^-64 are the
-    documented trade the pipeline already accepts (exact.py F1)."""
+    Grouping key is xxhash64(text), NOT the text itself: the shuffle
+    moves 16-byte (doc_id, digest) rows instead of the whole corpus
+    keyed by full document text — the same skinny-row discipline as the
+    pipeline cascade (operators/exact.py).  The reference groups by
+    digest too (Common.pm:187); collision odds at 2^-64 are the
+    documented trade the pipeline already accepts (exact.py F1).
+
+    Join-based, not a digest window (VERDICT r3 #7): a count/min WINDOW
+    funnels a degenerate mega-cluster (identical boilerplate pages)
+    through one partition of one task; groupBy gets map-side partial
+    aggregation and AQE skew handling, and the join back is
+    AQE-splittable.  Enforced by a plan-shape test (no Window node
+    partitioned by the digest on this surface)."""
     d = _docs(spark, sf_dir).select(
         "doc_id", F.xxhash64("text").alias("__digest")
     )
-    w = Window.partitionBy("__digest")
-    return d.select(
-        "doc_id",
-        F.min("doc_id").over(w).alias("cluster_id"),
-    ).withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    mins = d.groupBy("__digest").agg(F.min("doc_id").alias("cluster_id"))
+    return (
+        d.join(mins, "__digest")
+        .select("doc_id", "cluster_id")
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
 
 
 def q_keep_first_per_key(spark, sf_dir):
@@ -186,10 +194,9 @@ def q_robot_report(spark, sf_dir):
     d = _docs_planted(spark, sf_dir).select(
         "doc_id", F.xxhash64("text").alias("__digest")
     )
-    w = Window.partitionBy("__digest")
-    clusters = d.select(
-        "doc_id", F.min("doc_id").over(w).alias("cluster_id")
-    )
+    # join-based min-per-digest (no digest window; VERDICT r3 #7)
+    mins = d.groupBy("__digest").agg(F.min("doc_id").alias("cluster_id"))
+    clusters = d.join(mins, "__digest").select("doc_id", "cluster_id")
     return robot_report(clusters, "doc_id", max_members=ROBOT_MAX_MEMBERS).select(
         "cluster_id",
         F.col("n_members").cast("long").alias("n_members"),

@@ -144,3 +144,35 @@ def test_exact_query_surface_never_shuffles_text(spark):
     ):
         for line in _plan_exchanges(q(spark, sf)):
             assert "text#" not in line, (q.__name__, line)
+
+
+def _plan_window_nodes(df) -> list[str]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [l for l in plan.splitlines() if "Window [" in l]
+
+
+def test_exact_surface_has_no_digest_keyed_window(spark):
+    """Plan-shape assertion (VERDICT r3 #7): the exact-cluster/report
+    surface's min/count-per-digest runs as a join-based HAVING, never a
+    Window partitioned by the digest — a degenerate mega-cluster (e.g.
+    identical boilerplate pages) would funnel a digest window through
+    one partition of one task, while groupBy+join gets map-side combine
+    and AQE skew splitting.  Per-CLUSTER ordering windows (bounded by
+    the robot member cap / report line numbering) remain legitimate."""
+    from app_dupfind_spark import queries as Q
+    from app_dupfind_spark.operators.report import human_report_df
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.createDataFrame(
+        [("u1", "alpha beta"), ("u2", "alpha beta"), ("u3", "gamma")],
+        "url string, text string",
+    )
+    surfaces = [
+        ("q_exact_dup_clusters", Q.q_exact_dup_clusters(spark, sf)),
+        ("q_robot_report", Q.q_robot_report(spark, sf)),
+        ("q_human_report", Q.q_human_report(spark, sf)),
+        ("human_report_df", human_report_df(docs, "url", "text")),
+    ]
+    for name, df in surfaces:
+        for line in _plan_window_nodes(df):
+            assert "__digest#" not in line, (name, line)
