@@ -87,6 +87,24 @@ def input_fingerprint(df: DataFrame, id_col: str) -> str:
     return f"input:{row['n']}:{row['h']}"
 
 
+def encode_manifest_blob(manifest: dict) -> str:
+    """Manifest JSON -> base64 for storage in an Iceberg TBLPROPERTIES
+    SQL literal.  Spark SQL string literals interpret backslash escapes,
+    so raw JSON with a quote/backslash in any meta value (stage name,
+    fingerprint) would be mangled in storage and fail json.loads on
+    resume (ADVICE r3).  b64 output is [A-Za-z0-9+/=] — literal-safe
+    under both quote and backslash rules."""
+    import base64
+
+    return base64.b64encode(json.dumps(manifest).encode()).decode()
+
+
+def decode_manifest_blob(blob: str) -> dict:
+    import base64
+
+    return json.loads(base64.b64decode(blob))
+
+
 def iceberg_runtime_available(spark: SparkSession) -> bool:
     """True iff the Iceberg Spark runtime jar is on the JVM classpath.
     This sandbox ships none (SURVEY §7); a real cluster adds
@@ -151,7 +169,7 @@ class IcebergTableIO:
         ).collect()
         props = {r["key"]: r["value"] for r in rows}
         blob = props.get(self.MANIFEST_PROP)
-        return json.loads(blob) if blob else None
+        return decode_manifest_blob(blob) if blob else None
 
     def write(self, name: str, df: DataFrame, meta: dict) -> dict:
         tbl = self.table(name)
@@ -172,7 +190,7 @@ class IcebergTableIO:
         manifest["partitions"] = lineage
         manifest["written_at"] = time.time()
         manifest["snapshot_id"] = snap["snapshot_id"] if snap else None
-        blob = json.dumps(manifest).replace("'", "''")
+        blob = encode_manifest_blob(manifest)
         self.spark.sql(
             f"ALTER TABLE {tbl} SET TBLPROPERTIES "
             f"('{self.MANIFEST_PROP}'='{blob}')"

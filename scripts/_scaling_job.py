@@ -37,9 +37,14 @@ def main() -> None:
     # both smooths skew and gives AQE room to coalesce (571 s), and
     # local[2] is insensitive to the difference.  SPARK_GRAFT_SHUFFLE
     # overrides for experiments.
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
-    n_rows = pq.ParquetDataset(pages_path).read(columns=["url"]).num_rows
+    # row count from parquet FOOTER metadata only — no column read, no
+    # driver materialization, no column-name dependency (ADVICE r3)
+    n_rows = sum(
+        frag.metadata.num_rows
+        for frag in pads.dataset(pages_path, format="parquet").get_fragments()
+    )
     shuffle = int(
         os.environ.get(
             "SPARK_GRAFT_SHUFFLE", max(8, min(256, n_rows // 63_000))

@@ -75,6 +75,27 @@ def test_keep_canonical_merge_statement():
     )
 
 
+def test_manifest_blob_survives_sql_hostile_values():
+    """The TBLPROPERTIES blob must round-trip meta values containing
+    SQL-literal hazards — single quotes, backslashes, control chars,
+    non-ASCII (ADVICE r3: raw JSON in a literal was mangled by Spark's
+    backslash-escape interpretation)."""
+    from app_dupfind_spark.plans.pipeline import (
+        decode_manifest_blob,
+        encode_manifest_blob,
+    )
+
+    manifest = {
+        "stage": "o'brien\\stage",
+        "fingerprint": 'quote " backslash \\ newline \n tab \t',
+        "unicode": "naïve—π",
+        "rows": 7,
+    }
+    blob = encode_manifest_blob(manifest)
+    assert all(c.isalnum() or c in "+/=" for c in blob)   # literal-safe
+    assert decode_manifest_blob(blob) == manifest
+
+
 @pytest.mark.skipif(
     "not config.getoption('--run-iceberg', default=False)",
     reason="needs iceberg-spark-runtime jar + catalog conf",
@@ -87,8 +108,12 @@ def test_iceberg_round_trip(spark):
         iceberg_catalog="local",
     )
     df = spark.range(10).withColumnRenamed("id", "doc_id")
-    m = io.write("t1", df, {"config_hash": "x", "upstream": "", "stage": "t1"})
+    hostile = "up'stream\\fp"          # SQL-literal hazards, stored real
+    m = io.write(
+        "t1", df, {"config_hash": "x", "upstream": hostile, "stage": "t1"}
+    )
     assert m["rows"] == 10
     assert m["snapshot_id"] is not None
     assert io.manifest("t1")["snapshot_id"] == m["snapshot_id"]
+    assert io.manifest("t1")["upstream"] == hostile
     assert io.read("t1").count() == 10
