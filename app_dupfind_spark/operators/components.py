@@ -15,8 +15,12 @@ Also provided: min-label propagation (hash-min), a simpler O(diameter)
 algorithm used as a cross-check in tests.
 
 Scale notes:
-- `localCheckpoint(eager=True)` after every round cuts the lineage —
-  iterative self-joins otherwise compound the plan exponentially.
+- A lazy barrier after every round cuts the lineage — iterative
+  self-joins otherwise compound the plan exponentially.  The barrier
+  strategy is selectable (`barrier_strategy`, plans/barriers.py):
+  'local' (default) is fastest but an executor loss mid-CC rewinds the
+  whole iterative stage to its input checkpoint; 'reliable' makes each
+  ROUND durable, so recovery replays at most one round.
 - Fixpoint detection compares the edge multiset via a count+checksum
   aggregate (one cheap job), not exceptAll (a full shuffle).
 """
@@ -25,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from app_dupfind_spark.plans.barriers import materialize_barrier
 
 
 def _canonical_edges(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
@@ -100,19 +106,29 @@ def _edge_checksum(edges: DataFrame) -> tuple[int, int, int]:
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 50, a: str = "a", b: str = "b"
+    pairs: DataFrame,
+    max_iterations: int = 50,
+    a: str = "a",
+    b: str = "b",
+    barrier_strategy: str = "local",
 ) -> DataFrame:
     """(node, component) for every node appearing in `pairs`; component
     is the minimum node id of the connected component (matching the
     reference's min-member cluster identity, Common.pm:248-251)."""
-    # lazy localCheckpoint: the checksum action right after it both
-    # materializes the checkpoint and reads the aggregate — ONE Spark
+    # lazy barrier: the checksum action right after it both
+    # materializes the barrier and reads the aggregate — ONE Spark
     # job per iteration instead of two (driver job latency is the fixed
     # cost that caps scaling efficiency of the iterative stage)
-    edges = _canonical_edges(pairs, a, b).localCheckpoint(eager=False)
+    edges = materialize_barrier(
+        _canonical_edges(pairs, a, b),
+        strategy=barrier_strategy, eager=False,
+    )
     prev = _edge_checksum(edges)
     for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        edges = materialize_barrier(
+            _small_star(_large_star(edges)),
+            strategy=barrier_strategy, eager=False,
+        )
         cur = _edge_checksum(edges)
         if cur == prev:
             break

@@ -275,7 +275,10 @@ def near_dup_pipeline(
             edges = near_edges.unionByName(ex_edges)
             if span_edges is not None:
                 edges = edges.unionByName(span_edges)
-            return connected_components(edges, cfg.cc_max_iterations)
+            return connected_components(
+                edges, cfg.cc_max_iterations,
+                barrier_strategy=cfg.barrier_strategy,
+            )
 
         cc = runner.run_stage(
             "cc",

@@ -72,6 +72,25 @@ def test_config_validates_strategy():
         DedupConfig(barrier_strategy="bogus")
 
 
+def test_connected_components_under_reliable_barriers(spark):
+    # the iterative stage's per-round lineage cut honors the strategy:
+    # under 'reliable' each round is durable (recovery replays at most
+    # one round instead of rewinding the whole stage)
+    from app_dupfind_spark.operators.components import connected_components
+
+    ensure_checkpoint_dir(spark, tempfile.mkdtemp(prefix="rdd_ckpt_"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 5)], "a long, b long"
+    )
+    out = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            pairs, barrier_strategy="reliable"
+        ).collect()
+    }
+    assert out == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
 def test_cascade_end_to_end_under_reliable_barriers(spark, pages):
     # the exact cascade's skinny-projection barrier is the hottest
     # site; the full operator must produce identical dup membership
