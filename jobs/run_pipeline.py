@@ -10,6 +10,11 @@ Cluster usage (north_rule contract):
         --output <clusters sink path> \\
         [--config k=v ...]
 
+Multi-executor cluster profile (SCALE.md): add
+`--config barrier_strategy=reliable` so intra-stage fan-out barriers
+survive executor loss (the runner auto-sets the RDD checkpoint dir
+under --checkpoint-dir).
+
 Local smoke:
 
     python jobs/run_pipeline.py --input /tmp/pages.parquet \\
