@@ -329,7 +329,7 @@ def q_token_counts(spark, sf_dir):
 
 def q_doc_fingerprints(spark, sf_dir):
     return _docs(spark, sf_dir).select(
-        "doc_id", T.fingerprint(F.col("text")).alias("fingerprint")
+        "doc_id", T.make_fingerprint_udf()(F.col("text")).alias("fingerprint")
     )
 
 

@@ -78,6 +78,28 @@ def test_fingerprint_matches_python_fold(spark):
         assert rows[s] == h, repr(s)
 
 
+def test_fingerprint_udf_matches_expression(spark):
+    """The vectorized kernel must equal the reference expression for
+    every input: ASCII, unicode (BMP code units), empty, null, and
+    chunk-boundary-sized batches."""
+    texts = SAMPLES + [
+        "",
+        "naïve café — π≈3.14159",
+        "tab\tnew\nline",
+        "x" * 5000,
+        None,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, t string")
+    both = df.select(
+        "i",
+        T.fingerprint(F.col("t")).alias("ref"),
+        T.make_fingerprint_udf()(F.col("t")).alias("fast"),
+    ).collect()
+    for r in both:
+        assert r["fast"] == r["ref"], texts[r["i"]]
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame([(s,) for s in SAMPLES], "t string")
     rows = df.select(
