@@ -144,6 +144,22 @@ def lang_id(col: Column) -> Column:
     return F.aggregate(tokens(col), zero, bump, finish)
 
 
+def token_stats(tok: Column) -> Column:
+    """ONE interpreted pass over a BOUND token array yielding the
+    2-long array [sum of token lengths, stopword hits] — the fused form
+    of quality_features' two token scans (interpreted HOFs get no CSE,
+    so two separate folds cost two full passes).  Bind the result as a
+    real column before referencing it twice."""
+    return F.aggregate(
+        tok,
+        F.array(F.lit(0).cast("long"), F.lit(0).cast("long")),
+        lambda a, t: F.array(
+            F.element_at(a, 1) + F.length(t).cast("long"),
+            F.element_at(a, 2) + t.isin(*QUALITY_STOPWORDS).cast("long"),
+        ),
+    )
+
+
 def quality_features(col: Column, tok: Column | None = None) -> dict[str, Column]:
     """Deterministic quality signals (CCNet/Gopher-style cheap filters).
 

@@ -305,17 +305,46 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_quality_scores(spark, sf_dir):
-    # tokens bound once; every feature references the materialized
-    # column instead of re-tokenizing (HOF projections get no CSE)
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.col("text"), T.tokens(F.col("text")).alias("__tok")
-    )
-    tok = F.col("__tok")
-    feats = T.quality_features(F.col("text"), tok)
-    return d.select(
+    # bind-then-arithmetic discipline: a projection containing an
+    # interpreted HOF falls out of codegen WHOLE, losing common-
+    # subexpression elimination for everything in it — so stage 1 binds
+    # every text/token-derived scalar exactly once (token stats fused
+    # into ONE fold via token_stats), and stage 2 is pure bound-column
+    # arithmetic reproducing quality_features/quality_score bit-for-bit
+    bound = _docs(spark, sf_dir).select(
+        "doc_id", "text", T.tokens(F.col("text")).alias("__tok")
+    ).select(
         "doc_id",
-        *[c.alias(n) for n, c in feats.items()],
-        T.quality_score(F.col("text"), tok).alias("quality"),
+        F.length("text").alias("__nc"),
+        F.size("__tok").alias("__nt"),
+        T.token_stats(F.col("__tok")).alias("__ts"),
+        F.regexp_count("text", F.lit(r"[^\w\s]")).alias("__np"),
+        F.regexp_count("text", F.lit(r"[0-9]")).alias("__nd"),
+    )
+    nt = F.col("__nt")
+    safe_tok = F.greatest(nt, F.lit(1))
+    safe_chars = F.greatest(F.col("__nc"), F.lit(1))
+    punct = F.round(F.col("__np") / safe_chars.cast("double"), 6)
+    digit = F.round(F.col("__nd") / safe_chars.cast("double"), 6)
+    quality = F.round(
+        F.lit(0.4) * F.least(nt / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct * 5, F.lit(1.0)))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(digit * 5, F.lit(1.0))),
+        6,
+    )
+    return bound.select(
+        "doc_id",
+        F.col("__nc").cast("long").alias("n_chars"),
+        nt.cast("long").alias("n_tokens"),
+        F.round(
+            F.element_at("__ts", 1) / safe_tok.cast("double"), 6
+        ).alias("mean_token_len"),
+        punct.alias("punct_ratio"),
+        digit.alias("digit_ratio"),
+        F.round(
+            F.element_at("__ts", 2) / safe_tok.cast("double"), 6
+        ).alias("stopword_ratio"),
+        quality.alias("quality"),
     )
 
 
