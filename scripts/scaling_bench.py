@@ -126,7 +126,16 @@ Reproduce: `python scripts/scaling_bench.py {scale} {n_small} {n_large}`.
     baseline = REPO / "BASELINE.md"
     txt = baseline.read_text()
     if MARKER in txt:
-        txt = txt[: txt.index(MARKER)].rstrip() + "\n\n" + section
+        # replace ONLY the marker section: everything from the marker
+        # up to the next heading (## or ###) survives untouched — the
+        # historical per-stage/experiment subsections and later
+        # round sections live below it
+        start = txt.index(MARKER)
+        import re as _re
+
+        m = _re.search(r"\n(##+ )", txt[start + len(MARKER):])
+        end = start + len(MARKER) + m.start() + 1 if m else len(txt)
+        txt = txt[:start] + section.rstrip() + "\n\n" + txt[end:]
     else:
         txt = txt.rstrip() + "\n\n" + section
     baseline.write_text(txt)
