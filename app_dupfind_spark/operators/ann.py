@@ -498,17 +498,42 @@ def ivf_topk(
     ).withColumn("qn", l2_norm(F.col("qv"))).withColumn(
         "cell", F.explode(celln(F.col("qv")))
     )
-    scored = (
-        q.join(c, "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos_sim",
-            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
-        )
-        # a query probing several cells never sees a neighbor twice
-        # (corpus rows live in exactly one cell) — no dedup needed
-        .select("query_id", "neighbor_id", "cos_sim")
+    # a query probing several cells never sees a neighbor twice
+    # (corpus rows live in exactly one cell) — no dedup needed.
+    # Scoring is a vectorized mapInPandas cumsum (bit-identical fold
+    # order; norms bound per-row pre-join) — an interpreted per-pair
+    # `dot` was the same hot-path flaw the banded-LSH re-rank had.
+    joined = q.join(c, "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
     )
+    id_type = [f for f in c.schema.fields if f.name == "neighbor_id"][0]
+    out_schema = StructType(
+        [
+            StructField("query_id", id_type.dataType),
+            StructField("neighbor_id", id_type.dataType),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def rerank(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            Qv = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+            Cv = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            num = np.cumsum(Qv * Cv, axis=1)[:, -1]
+            cos = np.round(
+                num / (pdf["qn"].to_numpy() * pdf["cn"].to_numpy()), 6
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cos_sim": cos,
+                }
+            )
+
+    scored = joined.mapInPandas(rerank, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
