@@ -15,7 +15,8 @@ amortize to zero.
 Writes/updates the '## Measured' section of BASELINE.md and prints the
 JSON result.
 
-Usage: python scripts/scaling_bench.py [scale=600] [n_small=8] [n_large=32]
+Usage: python scripts/scaling_bench.py [scale=600] [n_small=8]
+       [n_large=32] [reps=2]
 """
 
 from __future__ import annotations
@@ -87,10 +88,11 @@ def main() -> None:
     scale = int(sys.argv[1]) if len(sys.argv) > 1 else 600
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_large = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     pages_path, n_rows = generate_corpus(scale)
 
-    small = run_level(pages_path, n_small)
-    large = run_level(pages_path, n_large)
+    small = run_level(pages_path, n_small, reps=reps)
+    large = run_level(pages_path, n_large, reps=reps)
     factor = n_large / n_small
     efficiency = (large["docs_per_sec"] / small["docs_per_sec"]) / factor
 
