@@ -67,10 +67,10 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    ckpt = tempfile.mkdtemp(prefix=f"scal{cpus}_")
     t0 = time.time()
     clusters, runner = near_dup_pipeline(
-        spark, pages, DedupConfig(), tempfile.mkdtemp(prefix=f"scal{cpus}_"),
-        persist_mode=persist_mode,
+        spark, pages, DedupConfig(), ckpt, persist_mode=persist_mode,
     )
     n_out = clusters.count()
     dt = time.time() - t0
@@ -81,6 +81,11 @@ def main() -> None:
         "stages": {m["stage"]: m["seconds"] for m in runner.metrics},
     }))
     spark.stop()
+    # stage checkpoints are ~GB per run at bench scale; leaking one
+    # tempdir per rep filled the sandbox disk (round-4 campaign death)
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -76,7 +76,7 @@ def run_level(pages_path: str, cpus: int, reps: int = 2) -> dict:
         out = subprocess.run(
             [sys.executable, str(REPO / "scripts" / "_scaling_job.py"),
              pages_path, str(cpus)],
-            capture_output=True, text=True, check=True, timeout=3000,
+            capture_output=True, text=True, check=True, timeout=10800,
         )
         r = json.loads(out.stdout.strip().splitlines()[-1])
         if best is None or r["sec"] < best["sec"]:
