@@ -36,7 +36,7 @@ counters_df(); no second pass over any stage input.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from app_dupfind_spark.config import DedupConfig
@@ -54,10 +54,15 @@ from app_dupfind_spark.plans.pipeline import PipelineRunner, input_fingerprint
 
 
 def exact_star_edges(dup_members: DataFrame, id_col: str = "url") -> DataFrame:
-    """Exact digest groups as (member, group_min) star edges for CC."""
-    w_min = F.min(id_col).over(Window.partitionBy("digest"))
+    """Exact digest groups as (member, group_min) star edges for CC.
+
+    groupBy-min + join back, never a digest-partitioned window
+    (VERDICT r4 #1): a window-min funnels a degenerate exact
+    mega-cluster through one task; the aggregate gets map-side combine
+    and the join is AQE-skew-splittable.  Plan-shape-tested."""
+    mins = dup_members.groupBy("digest").agg(F.min(id_col).alias("m"))
     return (
-        dup_members.withColumn("m", w_min)
+        dup_members.join(mins, "digest")
         .where(F.col(id_col) != F.col("m"))
         .select(F.col(id_col).alias("a"), F.col("m").alias("b"))
     )

@@ -213,16 +213,27 @@ def clusters_from_digests(
 ) -> DataFrame:
     """O1/O2/O3: cluster assembly.  cluster_id = min(id) within digest
     group (lex-first member is the 'original', ref Common.pm:206-219,
-    273); is_canonical marks rank 1 (keep-first semantics of the delete
-    stage, Common.pm:263-300 — materialized as a column, the deletion
-    itself is a MERGE/DELETE against the table, never row-at-a-time)."""
-    w = Window.partitionBy("digest")
-    wo = Window.partitionBy("digest").orderBy(id_col)
+    273); is_canonical marks the cluster minimum (keep-first semantics
+    of the delete stage, Common.pm:263-300 — materialized as a column,
+    the deletion itself is a MERGE/DELETE against the table, never
+    row-at-a-time).
+
+    Join-based, never a digest window (VERDICT r4 #1): a min/rank
+    WINDOW partitioned by the digest funnels a degenerate exact
+    mega-cluster (10^8 identical boilerplate/empty pages at web scale)
+    through ONE task for the sort; groupBy-min gets map-side partial
+    aggregation and the join back is AQE-skew-splittable — the same
+    shape already proven on the query surface (queries.py
+    q_exact_dup_clusters).  `is_canonical = (id == cluster_id)` is
+    exactly rank-1 of the old (digest, id-asc) window because
+    cluster_id IS the group minimum.  Enforced by the pipeline
+    plan-shape test (tests/test_report.py)."""
+    mins = dup_members.groupBy("digest").agg(F.min(id_col).alias("cluster_id"))
+    cols = dup_members.columns
     return (
-        dup_members.withColumn("cluster_id", F.min(id_col).over(w))
-        .withColumn("member_rank", F.row_number().over(wo))
-        .withColumn("is_canonical", F.col("member_rank") == 1)
-        .drop("member_rank")
+        dup_members.join(mins, "digest")
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+        .select(*cols, "cluster_id", "is_canonical")
     )
 
 

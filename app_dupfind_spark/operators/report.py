@@ -30,17 +30,28 @@ def robot_report(
     order); `n_members` always counts the whole cluster and `truncated`
     flags capped rows — never silent.  Unbounded collect_list is the
     alternative: at web scale one degenerate mega-cluster (empty docs,
-    boilerplate) would put the entire cluster in one row of one task."""
-    wc = Window.partitionBy("cluster_id")
-    wr = wc.orderBy(F.col("__m").asc())
-    # both windows share the cluster_id partitioning -> ONE exchange;
-    # sort in the id's NATIVE order (numeric ids must not sort lexically)
-    ranked = (
-        clusters.select("cluster_id", F.col(id_col).alias("__m"))
-        .withColumn("n_members", F.count(F.lit(1)).over(wc))
-        .withColumn("__rn", F.row_number().over(wr))
+    boilerplate) would put the entire cluster in one row of one task.
+
+    n_members comes from a groupBy-count join, NOT a count-over window
+    (VERDICT r4 #5): a count window routes every row of a mega-cluster
+    through one partition with no pushdown help, while the aggregate
+    gets map-side combine.  The rank window stays — its `__rn <=
+    max_members` filter is WindowGroupLimit-eligible (Spark 3.5+), so
+    each map partition keeps only max_members rows per cluster BEFORE
+    the window shuffle, bounding the funnel the count window couldn't.
+    Members sort in the id's NATIVE order (numeric ids must not sort
+    lexically)."""
+    members = clusters.select("cluster_id", F.col(id_col).alias("__m"))
+    counts = (
+        members.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
         .where(F.col("n_members") >= 2)
+    )
+    wr = Window.partitionBy("cluster_id").orderBy(F.col("__m").asc())
+    ranked = (
+        members.withColumn("__rn", F.row_number().over(wr))
         .where(F.col("__rn") <= max_members)
+        .join(counts, "cluster_id")
     )
     return ranked.groupBy("cluster_id").agg(
         F.first("n_members").alias("n_members"),

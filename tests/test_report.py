@@ -176,3 +176,50 @@ def test_exact_surface_has_no_digest_keyed_window(spark):
     for name, df in surfaces:
         for line in _plan_window_nodes(df):
             assert "__digest#" not in line, (name, line)
+
+
+def test_pipeline_path_has_no_digest_keyed_window(spark):
+    """Pipeline-path analog of the surface assertion (VERDICT r4 #1):
+    the PRODUCTION cluster assembly (clusters_from_digests over the
+    cascade) and the exact star edges feeding CC run their min-per-
+    digest as groupBy+join, never a Window partitioned by the digest —
+    a degenerate exact mega-cluster (boilerplate/empty pages, 10^8
+    identical docs at web scale) must not funnel through one task."""
+    from app_dupfind_spark.config import DedupConfig
+    from app_dupfind_spark.operators.dedup_pipeline import exact_star_edges
+    from app_dupfind_spark.operators.exact import (
+        clusters_from_digests,
+        exact_dup_cascade,
+    )
+
+    docs = spark.createDataFrame(
+        [("u1", "alpha beta"), ("u2", "alpha beta"), ("u3", "gamma")],
+        "url string, text string",
+    )
+    dm = exact_dup_cascade(docs, DedupConfig(), "url", "text", materialize=False)
+    for name, df in (
+        ("clusters_from_digests", clusters_from_digests(dm, "url")),
+        ("exact_star_edges", exact_star_edges(dm, "url")),
+    ):
+        for line in _plan_window_nodes(df):
+            assert "digest#" not in line, (name, line)
+
+
+def test_robot_report_count_not_windowed(spark):
+    """VERDICT r4 #5: robot_report's n_members must come from a
+    groupBy-count join, not count().over(cluster_id) — the count window
+    routes a whole mega-cluster through one partition.  The remaining
+    rank window is fine ONLY because its `__rn <= max_members` filter
+    gets WindowGroupLimit pushdown (map-side per-group cap before the
+    shuffle) — assert that pushdown actually fired."""
+    from app_dupfind_spark.operators.report import robot_report
+
+    clusters = spark.createDataFrame(
+        [("c1", "u1"), ("c1", "u2"), ("c2", "u3")],
+        "cluster_id string, url string",
+    )
+    df = robot_report(clusters, "url", max_members=2)
+    for line in _plan_window_nodes(df):
+        assert "count(" not in line, line
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, "rank-cap pushdown did not fire"
