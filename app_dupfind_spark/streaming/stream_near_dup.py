@@ -31,9 +31,13 @@ record) is guarded against self-matching, REPLACES its state entry,
 and its previously-reported pairs are SUPPRESSED — so pair emission
 is exactly-once end-to-end under upstream re-delivery, up to the
 bounded fingerprint retention (`max_emitted_state` FIFO per bucket;
-an evicted fingerprint degrades that pair to at-least-once) and the
-2^-64 per-comparison fingerprint collision odds (a collision
-suppresses a would-be pair).  The sink itself is idempotent in
+an evicted fingerprint degrades that pair to at-least-once — counted
+in state and surfaced as the `evicted_fps` column so the degradation
+is observable, never silent) and the 2^-64 per-comparison fingerprint
+collision odds (a collision suppresses a would-be pair).  Fingerprints
+hash the UNORDERED pair: re-delivery of the EARLIER member reverses
+the (stored, arrival) orientation, which an ordered fingerprint would
+treat as a new pair (ADVICE r4).  The sink itself is idempotent in
 batch_id (mode('overwrite') into output_dir/batch_id=<N>): a
 micro-batch replayed after a crash mid-write overwrites its own
 partition instead of appending duplicates.
@@ -77,6 +81,12 @@ MATCH_SCHEMA = StructType(
         StructField("hamming", IntegerType()),
         StructField("est_jaccard", DoubleType()),
         StructField("band", IntegerType()),
+        # cumulative count of emitted-pair fingerprints this bucket has
+        # FIFO-evicted, through this micro-batch — the operator-visible
+        # signal that exactly-once has thinned to at-least-once for
+        # some pairs of this bucket (VERDICT r4 #7); 0 = guarantee
+        # fully intact
+        StructField("evicted_fps", LongType()),
     ]
 )
 
@@ -93,17 +103,26 @@ STATE_SCHEMA = StructType(
         # int64 fingerprints of (a, b) pairs this bucket has emitted —
         # the cross-batch exactly-once guard (FIFO-bounded)
         StructField("emitted", ArrayType(LongType())),
+        # [cumulative count of fingerprints FIFO-evicted] — rides out
+        # on every emitted row as `evicted_fps`
+        StructField("meta", ArrayType(LongType())),
     ]
 )
 
 
 def _pair_fingerprint(a: str, b: str) -> int:
-    """Stable 64-bit fingerprint of an ordered pair, identical across
-    executors and restarts (unlike Python's salted hash())."""
+    """Stable 64-bit fingerprint of an UNORDERED pair, identical across
+    executors and restarts (unlike Python's salted hash()).  Endpoints
+    are sorted before hashing (ADVICE r4): re-delivery of the EARLIER
+    member X of an already-emitted pair (X, Y) produces the reversed
+    (Y, X) orientation at the matcher — an ordered fingerprint would
+    miss the suppression and the sink (which groups by the ordered
+    (a, b)) would carry the pair twice."""
     import hashlib
 
+    lo, hi = sorted((a, b))
     d = hashlib.blake2b(
-        a.encode() + b"\x00" + b.encode(), digest_size=8
+        lo.encode() + b"\x00" + hi.encode(), digest_size=8
     ).digest()
     return int.from_bytes(d, "big", signed=True)
 
@@ -136,16 +155,22 @@ def make_bucket_matcher(
             state.remove()
             return
         if state.exists:
-            ids_l, sims_l, sk_l, em_l = state.get
+            ids_l, sims_l, sk_l, em_l, meta_l = state.get
             ids = list(ids_l or [])
             sims = list(sims_l or [])
             sketches = list(sk_l or [])
             emitted = list(em_l or [])
+            n_evicted = int((meta_l or [0])[0])
         else:
             ids, sims, sketches, emitted = [], [], [], []
+            n_evicted = 0
         emitted_set = set(emitted)
         band = int(key[0])
         max_event_ms = 0
+        all_a: list[str] = []
+        all_b: list[str] = []
+        all_h: list[int] = []
+        all_j: list[float] = []
         for pdf in pdfs:
             if pdf.empty:
                 continue
@@ -198,26 +223,37 @@ def make_bucket_matcher(
                     ids.append(doc_id)
                     sims.append(int(sh))
                     sketches.extend(int(v) for v in sk)
-            if out_a:
-                yield pd.DataFrame(
-                    {
-                        "a": out_a,
-                        "b": out_b,
-                        "hamming": pd.array(out_h, dtype="int32"),
-                        "est_jaccard": pd.array(out_j, dtype="float64"),
-                        "band": pd.array([band] * len(out_a), dtype="int32"),
-                    }
-                )
+            all_a.extend(out_a)
+            all_b.extend(out_b)
+            all_h.extend(out_h)
+            all_j.extend(out_j)
         # bounded FIFO state + watermark-anchored TTL; emitted
         # fingerprints share the FIFO discipline (evicting one degrades
-        # that single pair to at-least-once — bounded state wins)
+        # that single pair to at-least-once — bounded state wins, but
+        # the degradation is COUNTED: n_evicted accumulates in state
+        # and rides out on every emitted row, so an operator can see
+        # when the exactly-once guarantee thinned for this bucket)
         ids = ids[-max_bucket_state:]
         sims = sims[-max_bucket_state:]
         sketches = sketches[-max_bucket_state * SKETCH_PERMS:]
+        n_evicted += max(0, len(emitted) - max_emitted_state)
         emitted = emitted[-max_emitted_state:]
-        state.update((ids, sims, sketches, emitted))
+        state.update((ids, sims, sketches, emitted, [n_evicted]))
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(max_event_ms, wm + 1) + ttl_ms)
+        if all_a:
+            yield pd.DataFrame(
+                {
+                    "a": all_a,
+                    "b": all_b,
+                    "hamming": pd.array(all_h, dtype="int32"),
+                    "est_jaccard": pd.array(all_j, dtype="float64"),
+                    "band": pd.array([band] * len(all_a), dtype="int32"),
+                    "evicted_fps": pd.array(
+                        [n_evicted] * len(all_a), dtype="int64"
+                    ),
+                }
+            )
 
     return match_bucket
 
@@ -326,6 +362,10 @@ def run_near_dup_file_stream(
                 F.min("hamming").alias("hamming"),
                 F.max("est_jaccard").alias("est_jaccard"),
                 F.min("band").alias("band"),
+                # worst bucket's cumulative fingerprint evictions seen
+                # by this pair: >0 means some pair of those buckets may
+                # now be at-least-once (VERDICT r4 #7)
+                F.max("evicted_fps").alias("evicted_fps"),
             )
             .write.mode("overwrite")
             .parquet(f"{output_dir}/batch_id={batch_id}")

@@ -207,7 +207,7 @@ def test_bucket_matcher_redelivery_guard():
     out = list(fn((0, 7), iter(batch([("u1", 5, sk)])), st))
     got = {(a, b) for df in out for a, b in zip(df["a"], df["b"])}
     assert got == set()
-    ids, sims, sketches, emitted = st.get
+    ids, sims, sketches, emitted, meta = st.get
     assert list(ids) == ["u1"]
     assert list(sims) == [5]               # replaced, latest wins
     assert len(sketches) == SKETCH_PERMS
@@ -248,3 +248,96 @@ def test_near_dup_stream_rejects_narrow_minhash(spark):
         near_dup_stream(
             stream, DedupConfig(num_perm=16, lsh_bands=4, lsh_rows=4)
         )
+
+
+class _FakeState:
+    def __init__(self):
+        self.exists, self.hasTimedOut, self._v = False, False, None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v, self.exists = v, True
+
+    def remove(self):
+        self.exists = False
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout = ts
+
+
+def _batch(rows):
+    import pandas as pd
+
+    ts = pd.Timestamp("2024-01-01", tz="UTC")
+    return [pd.DataFrame({
+        "id": [r[0] for r in rows],
+        "ts": [ts] * len(rows),
+        "sim": [r[1] for r in rows],
+        "sketch": [r[2] for r in rows],
+        "band": [0] * len(rows),
+        "band_hash": [7] * len(rows),
+    })]
+
+
+def test_bucket_matcher_redelivery_of_earlier_member():
+    """ADVICE r4 (high): re-delivering the EARLIER member X of an
+    already-emitted pair (X, Y) reverses the (stored, arrival)
+    orientation to (Y, X) — the fingerprint must hash the UNORDERED
+    pair, or the sink carries the pair twice as (X, Y) and (Y, X)."""
+    from app_dupfind_spark.streaming.stream_near_dup import (
+        SKETCH_PERMS,
+        make_bucket_matcher,
+    )
+
+    fn = make_bucket_matcher(
+        max_hamming=3, jaccard_threshold=0.7, max_bucket_state=8, ttl_ms=1000
+    )
+    st = _FakeState()
+    sk = list(range(SKETCH_PERMS))
+    list(fn((0, 7), iter(_batch([("u1", 0, sk)])), st))
+    out = list(fn((0, 7), iter(_batch([("u2", 0, sk)])), st))
+    got = {(a, b) for df in out for a, b in zip(df["a"], df["b"])}
+    assert got == {("u1", "u2")}
+    # u1 (the EARLIER member) re-delivered: stored u2 matches, and the
+    # candidate emission is the REVERSED (u2, u1) — must be suppressed
+    out = list(fn((0, 7), iter(_batch([("u1", 0, sk)])), st))
+    got = {(a, b) for df in out for a, b in zip(df["a"], df["b"])}
+    assert got == set()
+
+
+def test_bucket_matcher_eviction_counter():
+    """VERDICT r4 #7: FIFO eviction of emitted-pair fingerprints
+    degrades exactly-once to at-least-once — the degradation must be
+    COUNTED and ride out on emitted rows as `evicted_fps`."""
+    from app_dupfind_spark.streaming.stream_near_dup import (
+        SKETCH_PERMS,
+        make_bucket_matcher,
+    )
+
+    fn = make_bucket_matcher(
+        max_hamming=3, jaccard_threshold=0.7, max_bucket_state=8,
+        ttl_ms=1000, max_emitted_state=2,
+    )
+    st = _FakeState()
+    sk = list(range(SKETCH_PERMS))
+    # u1,u2,u3 pairwise-match: 3 fingerprints accumulate; cap=2 evicts 1
+    list(fn((0, 7), iter(_batch([("u1", 0, sk)])), st))
+    out = list(fn((0, 7), iter(_batch([("u2", 0, sk), ("u3", 0, sk)])), st))
+    assert all(v == 1 for df in out for v in df["evicted_fps"])
+    assert st.get[4] == [1]
+    # next batch: u4 emits 3 more pairs onto the 2 retained
+    # fingerprints => 3 more evictions, cumulative 4; rows carry it
+    out = list(fn((0, 7), iter(_batch([("u4", 0, sk)])), st))
+    assert all(v == 4 for df in out for v in df["evicted_fps"])
+    assert st.get[4] == [4]
+    # the evicted (u1,u2) fingerprint is gone: re-delivering u2 now
+    # RE-EMITS its pair with u1 (at-least-once, honestly counted)
+    out = list(fn((0, 7), iter(_batch([("u2", 0, sk)])), st))
+    got = {(a, b) for df in out for a, b in zip(df["a"], df["b"])}
+    assert ("u1", "u2") in got or ("u2", "u1") in got
