@@ -233,13 +233,15 @@ def make_fingerprint_udf():
     """Vectorized fingerprint: same values as `fingerprint()` for every
     input (null -> null included), ~10x the throughput.
 
-    Parity contract: Spark's `split(text, '')` splits into UTF-16 code
-    UNITS (the JVM string model) and `ascii` then yields the unit's
-    numeric value — so the kernel folds over `encode('utf-16-le')`
-    uint16 units, NOT codepoints.  (On BMP-only text, code units ==
-    codepoints, which is also where the DuckDB oracle agrees.)  The
+    Parity contract (ADVICE r4): Spark's `split(text, '')` splits into
+    CODEPOINTS — a zero-width regex split keeps surrogate pairs
+    together — and `ascii` yields the codepoint's full numeric value
+    (ascii('😀') = 128512).  The kernel therefore folds over
+    `encode('utf-32-le')` uint32 codepoints, NOT UTF-16 code units
+    (the earlier uint16 form diverged from the expression on any text
+    with astral chars — emoji are ubiquitous in web crawls).  The
     Horner fold is sequential per document but vectorized ACROSS
-    documents: one position-major loop over a padded uint16 code-unit
+    documents: one position-major loop over a padded uint32 codepoint
     matrix, chunked to bound memory.
     """
     import numpy as np
@@ -265,17 +267,17 @@ def make_fingerprint_udf():
                     null[lo + i] = True
                     enc.append(b"")
                 else:
-                    enc.append(str(v).encode("utf-16-le"))
+                    enc.append(str(v).encode("utf-32-le"))
             lens = np.fromiter(
-                (len(e) // 2 for e in enc), dtype=np.int64, count=len(enc)
+                (len(e) // 4 for e in enc), dtype=np.int64, count=len(enc)
             )
             m = int(lens.max()) if len(lens) else 0
             if m == 0:
                 continue
-            M = np.zeros((len(enc), m), dtype=np.uint16)
+            M = np.zeros((len(enc), m), dtype=np.uint32)
             for i, e in enumerate(enc):
                 if e:
-                    M[i, : lens[i]] = np.frombuffer(e, dtype="<u2")
+                    M[i, : lens[i]] = np.frombuffer(e, dtype="<u4")
             h = np.zeros(len(enc), dtype=np.int64)
             for k in range(m):
                 h = np.where(

@@ -67,13 +67,19 @@ def cosine_topk(
 
     Plan: the (small, capped) query matrix rides to every task and the
     corpus streams through ONE mapInPandas GEMM pass that emits only
-    each batch's top-(k+8) per query (selected by the SAME (sim desc,
-    id asc) tie rule as the final ranking); a tiny global window then
-    trims batch winners to the true top-k.  An interpreted per-pair
-    `dot` join measured 8x slower at 20k corpus vectors.  Parity: GEMM
-    selects, survivors recompute dot/norms in strict sequential cumsum
-    order (bit-identical to the JVM fold / DuckDB), and the +8 margin
-    covers any last-bit GEMM-vs-fold rank flip at the k boundary."""
+    each batch's top-k per query under the EXACT final metric; a tiny
+    global window then merges batch winners into the true top-k.  An
+    interpreted per-pair `dot` join measured 8x slower at 20k corpus
+    vectors.  Parity (ADVICE r4): GEMM pre-selects a candidate BAND —
+    every row whose 6dp-rounded GEMM sim is within one rounding
+    quantum of the k-th best (|round6(gemm) - round6(seq-fold)| <=
+    1e-6, so nothing outside the band can reach the final top-k; a
+    fixed +8 margin could drop quantum-tied low ids when many
+    near-identical vectors crowd the boundary — the normal dedup-corpus
+    case).  Band survivors then recompute dot/norms in strict
+    sequential cumsum order (bit-identical to the JVM fold / DuckDB)
+    and the batch applies the final (rounded sim desc, id asc) order
+    itself, so batch-local top-k IS globally sufficient."""
     q_rows = (
         queries.select(
             F.col(id_col).alias("qid"),
@@ -92,7 +98,6 @@ def cosine_topk(
     Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
     nq_gemm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
     nq_seq = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
-    kk = k + 8
 
     id_type = [f for f in corpus.select(F.col(id_col)).schema.fields][0]
     out_schema = StructType(
@@ -115,16 +120,26 @@ def cosine_topk(
             nv_seq = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
             out_q, out_n, out_c = [], [], []
             for j in range(len(qids)):
-                # batch-local top-kk under the FINAL tie rule
-                order = np.lexsort((ids, -sims[:, j]))[:kk]
-                order = order[np.isfinite(sims[order, j])]
-                if len(order) == 0:
+                # candidate BAND under 6dp-rounded GEMM sims: everything
+                # within one rounding quantum of the k-th best (2.5e-6
+                # = 1 quantum GEMM-vs-fold slack + float-compare fuzz)
+                r = np.round(sims[:, j], 6)
+                order0 = np.lexsort((ids, -r))
+                order0 = order0[np.isfinite(sims[order0, j])]
+                if len(order0) == 0:
                     continue
-                num = np.cumsum(V[order] * Q[j], axis=1)[:, -1]
-                cos = np.round(num / (nv_seq[order] * nq_seq[j]), 6)
-                out_q.extend([qids[j]] * len(order))
-                out_n.extend(ids[order])
-                out_c.extend(cos)
+                if len(order0) > k:
+                    band = order0[r[order0] >= r[order0[k - 1]] - 2.5e-6]
+                else:
+                    band = order0
+                num = np.cumsum(V[band] * Q[j], axis=1)[:, -1]
+                cos = np.round(num / (nv_seq[band] * nq_seq[j]), 6)
+                # final order applied IN the batch: the selection metric
+                # now EQUALS the global window's, so batch top-k suffices
+                sel = np.lexsort((ids[band], -cos))[:k]
+                out_q.extend([qids[j]] * len(sel))
+                out_n.extend(ids[band][sel])
+                out_c.extend(cos[sel])
             if out_q:
                 yield pd.DataFrame(
                     {"query_id": out_q, "neighbor_id": out_n,

@@ -207,3 +207,28 @@ def test_ivf_centroids_deterministic(spark, vecs):
     b = ann.train_ivf_centroids(df.repartition(7), n_cells=4, seed=42)
     import numpy as np
     assert np.allclose(a, b)
+
+
+def test_topk_quantum_crowded_boundary(spark):
+    """ADVICE r4: >k+8 candidates whose raw sims differ within ~1e-9
+    but round EQUAL at 6dp — the final (rounded sim desc, id asc) rule
+    must prefer the LOWEST ids, which the old fixed +8 raw-sim margin
+    dropped from batch selection (their raw sims are the smallest of
+    the crowd by construction)."""
+    import math
+
+    crowd = 20
+    rows = []
+    for i in range(crowd):
+        c = 0.5000003 + i * 1e-9      # ascending raw sim with id
+        s = math.sqrt(1.0 - c * c)
+        rows.append((i, [c, s, 0.0, 0.0]))
+    rows.append((500, [-1.0, 0.0, 0.0, 0.0]))   # far filler
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(1000, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = ann.cosine_topk(corpus, queries, 4).collect()
+    got = [(r["rank"], r["neighbor_id"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(1, 0), (2, 1), (3, 2), (4, 3)], got
+    assert all(r["cos_sim"] == 0.5 for r in out)

@@ -80,14 +80,19 @@ def test_fingerprint_matches_python_fold(spark):
 
 def test_fingerprint_udf_matches_expression(spark):
     """The vectorized kernel must equal the reference expression for
-    every input: ASCII, unicode (BMP code units), empty, null, and
-    chunk-boundary-sized batches."""
+    every input: ASCII, BMP unicode, ASTRAL codepoints (split('')
+    keeps surrogate pairs together and ascii() yields the full
+    codepoint value — ADVICE r4: a UTF-16 code-unit fold diverges
+    here), empty, null, and chunk-boundary-sized batches."""
     texts = SAMPLES + [
         "",
         "naïve café — π≈3.14159",
         "tab\tnew\nline",
         "x" * 5000,
         None,
+        "😀a",                       # the ADVICE r4 counterexample
+        "emoji 🎉 mid 😀😀 text 🚀",   # several astral chars, mixed
+        "𝕄athematical 𝔸lphanumerics",  # astral letters inside words
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                "i long, t string")
