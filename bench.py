@@ -1,10 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (VERDICT r4 #2 — the driver captures only
+a 2 kB stdout tail, which round-4's inline spread block overflowed,
+losing the whole artifact):
   {"metric": "...", "value": <total of per-query medians>, "unit": "sec",
-   "queries": {name: median}, "spread": {name: {median,iqr,min,max,samples}},
-   "reps": R, "sf": ..., "docs_per_sec": ..., "cpus": ...}
+   "queries": {name: median}, "reps": R, "sf": ..., "docs_per_sec": ...,
+   "cpus": ..., "n_docs": ..., "scale2": {compact...},
+   "detail": "BENCH_DETAIL.json"}
+The per-query spread (median/IQR/min/max/samples) and any scale2 detail
+go to the BENCH_DETAIL.json sidecar next to this file.
 
 Variance protocol (VERDICT r3 #1): each query is repeated
 ``SPARK_GRAFT_BENCH_REPS`` times (default 5) INTERLEAVED — the rep loop
@@ -251,6 +256,31 @@ def run(
     return out
 
 
+def compact_split(out: dict) -> tuple[dict, dict]:
+    """Split a run() result (+ optional scale2 block) into the COMPACT
+    final-line dict (medians only — must fit the driver's 2 kB stdout
+    tail) and the DETAIL sidecar dict (spread blocks with raw samples).
+    Pure so the size contract is unit-testable."""
+    detail = {
+        "spread": out.get("spread", {}),
+        "reps": out.get("reps"),
+        "sf": out.get("sf"),
+        "cpus": out.get("cpus"),
+    }
+    compact = {k: v for k, v in out.items() if k not in ("spread", "scale2")}
+    if "scale2" in out:
+        s2 = out["scale2"]
+        detail["scale2"] = {
+            "spread": s2.get("spread", {}), "reps": s2.get("reps"),
+            "sf": s2.get("sf"),
+        }
+        compact["scale2"] = {
+            k: v for k, v in s2.items() if k != "spread"
+        }
+    compact["detail"] = "BENCH_DETAIL.json"
+    return compact, detail
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -277,7 +307,10 @@ def main() -> None:
             }
         except Exception as e:  # pragma: no cover - diagnostics only
             out["scale2_error"] = f"{type(e).__name__}: {e}"
-    print(json.dumps(out))
+    compact, detail = compact_split(out)
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail, indent=1))
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

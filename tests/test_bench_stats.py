@@ -34,3 +34,38 @@ def test_stats_outlier_robustness():
     assert clean["median"] == 1.1
     assert spiky["median"] == 1.1
     assert spiky["max"] == 9.0
+
+
+def test_compact_split_fits_driver_tail():
+    """VERDICT r4 #2: the driver captures only a 2 kB stdout tail — the
+    final bench line must stay under it with BOTH scale points and all
+    headline queries, spreads diverted to the sidecar."""
+    import json
+
+    import bench
+
+    spread = {
+        n: {"median": 12.345, "iqr": 1.234, "min": 11.1, "max": 15.9,
+            "samples": [12.3, 12.4, 12.5, 13.0, 11.1]}
+        for n in bench.HEADLINE + ["pipeline_full"]
+    }
+    base = {
+        "metric": "dedup-suite-runtime", "value": 123.456, "unit": "sec",
+        "queries": {n: s["median"] for n, s in spread.items()},
+        "spread": spread, "reps": 5, "sf": "0.1", "cpus": 32,
+        "n_docs": 50000, "docs_per_sec": 6723.4,
+    }
+    base["scale2"] = {
+        "sf": "synth50k", "value": 222.333,
+        "queries": dict(base["queries"]), "spread": spread, "reps": 2,
+        "n_docs": 50000, "docs_per_sec": 5661.2,
+    }
+    compact, detail = bench.compact_split(base)
+    line = json.dumps(compact)
+    assert len(line) < 1900, len(line)
+    assert "spread" not in compact
+    assert "spread" not in compact["scale2"]
+    assert compact["queries"] == base["queries"]
+    assert compact["scale2"]["queries"] == base["queries"]
+    assert detail["spread"] == spread
+    assert detail["scale2"]["spread"] == spread
