@@ -67,21 +67,50 @@ def generate_corpus(scale: int) -> tuple[str, int]:
     return str(path), total
 
 
-def run_level(pages_path: str, cpus: int, reps: int = 2) -> dict:
-    """Best of `reps` fresh-JVM runs — this sandbox has noisy
-    co-tenants (load average >5 at idle), so the minimum is the
-    interference-free estimate."""
-    best = None
-    for _ in range(reps):
-        out = subprocess.run(
-            [sys.executable, str(REPO / "scripts" / "_scaling_job.py"),
-             pages_path, str(cpus)],
-            capture_output=True, text=True, check=True, timeout=10800,
+def _one_run(pages_path: str, cpus: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "_scaling_job.py"),
+         pages_path, str(cpus)],
+        capture_output=True, text=True, check=True, timeout=10800,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_levels_interleaved(
+    pages_path: str, n_small: int, n_large: int, reps: int
+) -> tuple[dict, dict, dict]:
+    """INTERLEAVED level runs (VERDICT r4 #4): each round runs BOTH
+    levels back-to-back (order alternating round-to-round), so the
+    box's slow co-tenant drift — documented +/-30% across sessions —
+    lands on both levels' sample sets instead of biasing whichever
+    level ran in the quieter hour (the round-3 0.808 vs round-4 0.611
+    discrepancy was exactly cross-session drift).  Per level the
+    MINIMUM is the interference-free estimate; per-round paired
+    efficiencies expose the spread."""
+    samples: dict[int, list[dict]] = {n_small: [], n_large: []}
+    for r in range(max(1, reps)):
+        order = [n_small, n_large] if r % 2 == 0 else [n_large, n_small]
+        for cpus in order:
+            res = _one_run(pages_path, cpus)
+            samples[cpus].append(res)
+            print(
+                f"round {r + 1}/{reps} local[{cpus}]: "
+                f"{res['sec']}s {res['docs_per_sec']} docs/s",
+                file=sys.stderr,
+            )
+    best = {c: min(rs, key=lambda x: x["sec"]) for c, rs in samples.items()}
+    factor = n_large / n_small
+    per_round = [
+        round(
+            (samples[n_large][i]["docs_per_sec"]
+             / samples[n_small][i]["docs_per_sec"]) / factor, 3,
         )
-        r = json.loads(out.stdout.strip().splitlines()[-1])
-        if best is None or r["sec"] < best["sec"]:
-            best = r
-    return best
+        for i in range(len(samples[n_small]))
+    ]
+    spread = {
+        c: [x["sec"] for x in rs] for c, rs in samples.items()
+    }
+    return best, {"per_round_efficiency": per_round, "sec_samples": spread}, samples
 
 
 def main() -> None:
@@ -91,8 +120,8 @@ def main() -> None:
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     pages_path, n_rows = generate_corpus(scale)
 
-    small = run_level(pages_path, n_small, reps=reps)
-    large = run_level(pages_path, n_large, reps=reps)
+    best, spread, _ = run_levels_interleaved(pages_path, n_small, n_large, reps)
+    small, large = best[n_small], best[n_large]
     factor = n_large / n_small
     efficiency = (large["docs_per_sec"] / small["docs_per_sec"]) / factor
 
@@ -103,9 +132,12 @@ def main() -> None:
         f"local[{n_large}]": large,
         "speedup": round(large["docs_per_sec"] / small["docs_per_sec"], 3),
         "scaling_efficiency": round(efficiency, 3),
+        "interleaved": spread,
     }
     print(json.dumps(result))
 
+    sm = ", ".join(f"{s:.0f}" for s in spread["sec_samples"][n_small])
+    lg = ", ".join(f"{s:.0f}" for s in spread["sec_samples"][n_large])
     section = f"""{MARKER}
 
 No real cluster exists in this sandbox; per the protocol above, the
@@ -114,16 +146,22 @@ MinHash signatures -> LSH candidates -> verify -> spans -> CC ->
 clusters, all stages checkpointed) ran at two local parallelism levels
 in fresh JVMs on the same deterministic synthetic corpus
 (fixtures.build_corpus seed=42 scale={scale}, {n_rows} pages).
+Levels were INTERLEAVED within one session (each round runs both
+levels back-to-back, order alternating), so co-tenant drift lands on
+both sample sets; per level the minimum is the interference-free
+estimate.
 
 | quantity | local[{n_small}] (N) | local[{n_large}] (4N) |
 |---|---|---|
-| pipeline wall time | {small['sec']:.2f} s | {large['sec']:.2f} s |
-| throughput | {small['docs_per_sec']:.1f} docs/s | {large['docs_per_sec']:.1f} docs/s |
+| pipeline wall time (best) | {small['sec']:.2f} s | {large['sec']:.2f} s |
+| wall-time samples | {sm} s | {lg} s |
+| throughput (best) | {small['docs_per_sec']:.1f} docs/s | {large['docs_per_sec']:.1f} docs/s |
 
 Speedup N->4N: {result['speedup']}x; **scaling efficiency
-(throughput_4N / throughput_N) / 4 = {efficiency:.3f}**.
+(throughput_4N / throughput_N) / 4 = {efficiency:.3f}** (best-of-level);
+per-round paired efficiencies: {spread['per_round_efficiency']}.
 
-Reproduce: `python scripts/scaling_bench.py {scale} {n_small} {n_large}`.
+Reproduce: `python scripts/scaling_bench.py {scale} {n_small} {n_large} <reps>`.
 """
     baseline = REPO / "BASELINE.md"
     txt = baseline.read_text()
