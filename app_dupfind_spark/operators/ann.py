@@ -639,16 +639,22 @@ def banded_lsh_neighbors(
 
     memb = base.select("id", F.posexplode("codes").alias("band", "code"))
 
-    # bucket sizes from ONE count window; buckets above the cap are
-    # excluded from pair generation and surfaced in the skew report
-    w = Window.partitionBy("band", "code")
-    sized = memb.withColumn("bucket_size", F.count(F.lit(1)).over(w))
-    ok = sized.where(F.col("bucket_size") <= bucket_cap).select("id", "band", "code")
-    skew_report = (
-        sized.where(F.col("bucket_size") > bucket_cap)
-        .groupBy("band", "code")
-        .agg(F.first("bucket_size").alias("bucket_size"))
+    # bucket sizes from a partial-aggregated groupBy-count + join back,
+    # never a count WINDOW (r5, same fix as minhash_lsh): an embedding
+    # mega-bucket — a dense mass of near-identical vectors sharing a
+    # band code, the normal dedup-corpus case — would funnel through
+    # one window partition just to learn the size that disqualifies
+    # it; the aggregate gets map-side combine and the join is
+    # AQE-skew-splittable.  Buckets above the cap are excluded from
+    # pair generation and surfaced in the skew report.
+    sizes = memb.groupBy("band", "code").agg(
+        F.count(F.lit(1)).alias("bucket_size")
     )
+    ok = memb.join(
+        sizes.where(F.col("bucket_size") <= bucket_cap).select("band", "code"),
+        ["band", "code"],
+    ).select("id", "band", "code")
+    skew_report = sizes.where(F.col("bucket_size") > bucket_cap)
 
     if probe_bits >= 1:
         # multi-probe: the probe side also visits every single-bit flip

@@ -28,7 +28,7 @@ Skew handling (north_rule: "salts skewed LSH buckets"):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from app_dupfind_spark.config import DedupConfig
@@ -101,16 +101,20 @@ def candidate_pairs(
     J1 in SURVEY §2.5: same-key self-pairing, the grouping-as-join
     pattern the reference uses everywhere (A1–A3).
 
-    Plan shape: bucket sizes come from ONE count window over
-    (band, band_hash) — not a separate aggregate + join back — so the
-    signature UDF lineage is traversed once up to the windowed
-    membership table.  That table is then localCheckpoint'ed (when
-    `materialize`) because the self-join fans the DAG out into two
-    branches: without materialization every branch would re-run the
-    Arrow/pandas signature stage.  (The pipeline runner's parquet
-    checkpoints play this role across stages; this covers standalone
-    use.)  AQE's skew-join splitting handles residual imbalance above
-    the explicit bucket cap.
+    Plan shape: bucket sizes come from a partial-aggregated
+    groupBy-count + join back on (band, band_hash), never a count
+    WINDOW (r5, closing the last mega-group-keyed window on a default
+    path): a boilerplate mega-bucket — 10^8 docs sharing every band
+    hash at web scale — would route through ONE window partition of
+    one task just to learn the size that disqualifies it, while the
+    aggregate gets map-side combine and the equi-join is
+    AQE-skew-splittable.  Both the aggregate and the probe side read
+    the (materialized) signature table, so the Arrow/pandas UDF still
+    evaluates once; the sized membership is then localCheckpoint'ed
+    (when `materialize`) because the self-join fans the DAG out again.
+    (The pipeline runner's parquet checkpoints play this role across
+    stages; this covers standalone use.)  AQE's skew-join splitting
+    handles residual imbalance above the explicit bucket cap.
     """
     if materialize and not sigs_materialized:
         # bind the UDF-produced signature column behind a barrier: the
@@ -121,19 +125,20 @@ def candidate_pairs(
         sigs = materialize_barrier(sigs, cfg)
     buckets = band_buckets(sigs, cfg, id_col)
 
-    w = Window.partitionBy("band", "band_hash")
-    sized = buckets.withColumn("bucket_size", F.count(F.lit(1)).over(w))
-    member = sized.where(
-        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.lsh_bucket_cap)
+    sizes = buckets.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    member = buckets.join(
+        sizes.where(
+            (F.col("bucket_size") >= 2)
+            & (F.col("bucket_size") <= cfg.lsh_bucket_cap)
+        ),
+        ["band", "band_hash"],
     ).select("band", "band_hash", id_col, "bucket_size")
     if materialize:
         member = materialize_barrier(member, cfg)
 
-    skew_report = (
-        sized.where(F.col("bucket_size") > cfg.lsh_bucket_cap)
-        .groupBy("band", "band_hash")
-        .agg(F.first("bucket_size").alias("bucket_size"))
-    )
+    skew_report = sizes.where(F.col("bucket_size") > cfg.lsh_bucket_cap)
 
     # SALTED bucket self-join (north_rule), ADAPTIVE: each member gets
     # a salt g = xxhash64(id) mod G_b where G_b grows with ITS bucket's

@@ -232,3 +232,24 @@ def test_topk_quantum_crowded_boundary(spark):
     got = [(r["rank"], r["neighbor_id"]) for r in sorted(out, key=lambda r: r["rank"])]
     assert got == [(1, 0), (2, 1), (3, 2), (4, 3)], got
     assert all(r["cos_sim"] == 0.5 for r in out)
+
+
+def test_banded_plan_has_no_bucket_window(spark):
+    """r5: ANN bucket sizing must be groupBy-count + join, never a
+    count window over (band, code) — a dense mass of near-identical
+    embeddings sharing a band code would funnel through one window
+    partition.  materialize=False so the pre-barrier plan is
+    visible."""
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, 0.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs, skew = ann.banded_lsh_neighbors(
+        vecs, threshold=0.5, dim=4, bands=2, rows_per_band=4,
+        materialize=False,
+    )
+    for d in (pairs, skew):
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Window [" in line:
+                assert "code" not in line, line

@@ -98,3 +98,19 @@ def test_size_projection_counts_chars(spark):
     df = with_size(spark.createDataFrame([("héllo",), ("",)], "text string"))
     rows = {r["text"]: r["size"] for r in df.collect()}
     assert rows == {"héllo": 5, "": 0}
+
+
+def test_keep_first_gets_window_group_limit(spark):
+    """keep_first's rank window is partitioned by the dedup key — a
+    url re-crawled 10^6 times is a real group at web scale.  Its
+    `__rn == 1` filter must trigger WindowGroupLimit so each map
+    partition keeps one row per key BEFORE the window shuffle."""
+    from app_dupfind_spark.operators.exact import keep_first
+
+    df = spark.createDataFrame(
+        [("u1", 1, "x"), ("u1", 2, "y"), ("u2", 1, "z")],
+        "url string, ts long, text string",
+    )
+    kf = keep_first(df, ["url"], "ts", "url")
+    plan = kf._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -121,3 +121,31 @@ def test_bucket_cap_truncates_and_reports(spark, cfg):
     cands, skew = candidate_pairs(sigs, small_cap, "url")
     assert cands.count() == 0          # every bucket over cap
     assert skew.count() == small_cap.lsh_bands  # all 32 bands skewed
+
+
+def test_candidate_plan_has_no_bucket_window(spark):
+    """r5: bucket sizing must be groupBy-count + join, never a count
+    window over (band, band_hash) — a boilerplate mega-bucket would
+    funnel through one window partition just to learn the size that
+    disqualifies it.  materialize=False so the pre-barrier plan is
+    visible."""
+    from app_dupfind_spark.config import DedupConfig
+    from app_dupfind_spark.operators.minhash_lsh import (
+        candidate_pairs,
+        signatures,
+    )
+
+    cfg = DedupConfig()
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(30))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    pairs, skew = candidate_pairs(
+        signatures(df, cfg, "doc_id", "text"), cfg, "doc_id",
+        materialize=False,
+    )
+    for df_ in (pairs, skew):
+        plan = df_._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Window [" in line:
+                assert "band_hash" not in line, line
