@@ -60,6 +60,18 @@ class DedupConfig:
     # truncation is logged — never silent.  At web scale a mega-bucket
     # is a stop-shingle artifact, not a dup cluster.
     lsh_bucket_cap: int = 2000
+    # pair generation for under-cap buckets (minhash_lsh.candidate_pairs):
+    # 'arrays'      — collect each capped bucket's sorted member array on
+    #                 the sizing join's partitioning (no extra exchange)
+    #                 and emit i<j pairs with a nested JVM explode; the
+    #                 bucket cap bounds per-task quadratic work at
+    #                 cap(cap-1)/2 emissions.  3 exchanges total.
+    # 'salted_join' — adaptive triangle-block salted self-join (spreads
+    #                 ONE bucket's pair enumeration over G(G+1)/2 tasks);
+    #                 6 exchanges of the full bucket membership.  Keep
+    #                 for caps large enough that cap^2/2 emissions in one
+    #                 task would straggle (cap >~ 10^5).
+    lsh_pair_strategy: str = "arrays"
 
     # --- verification ---
     simhash_bits: int = 64
@@ -132,6 +144,11 @@ class DedupConfig:
             raise ValueError(
                 f"barrier_strategy must be 'local', 'reliable' or "
                 f"'persist', got {self.barrier_strategy!r}"
+            )
+        if self.lsh_pair_strategy not in ("arrays", "salted_join"):
+            raise ValueError(
+                f"lsh_pair_strategy must be 'arrays' or 'salted_join', "
+                f"got {self.lsh_pair_strategy!r}"
             )
         if self.verify_mode not in ("exact", "estimate"):
             raise ValueError(

@@ -165,6 +165,9 @@ def near_dup_pipeline(
     checkpoint dir at a different input can never silently resume the
     old corpus (the staleness hazard of count-only fingerprints).
     """
+    from app_dupfind_spark.session import ensure_session_hygiene
+
+    ensure_session_hygiene(spark)
     runner = PipelineRunner(
         spark, cfg, checkpoint_dir, persist_mode=persist_mode,
         iceberg_catalog=iceberg_catalog, iceberg_namespace=iceberg_namespace,

@@ -11,7 +11,9 @@ Plan shape:
         -> [Arrow] minhash pandas UDF             (numpy batch math)
         -> [JVM] band hashes (xxhash64 on slices) (one codegen pass)
         -> posexplode -> (band, band_hash) buckets
-        -> bucket self-join (a < b) -> distinct candidate pairs
+        -> bucket sizing (groupBy count + join back, cap filter)
+        -> per-bucket sorted member arrays -> nested explode (i < j)
+        -> groupBy (a, b) -> (a, b, n_bands) candidate pairs
 
 Skew handling (north_rule: "salts skewed LSH buckets"):
 - Bucket sizes are measured first (one cheap aggregation).  Buckets
@@ -20,10 +22,17 @@ Skew handling (north_rule: "salts skewed LSH buckets"):
   mega-bucket is boilerplate/stop-shingle mass, and m^2 pair explosion
   from one key is precisely the straggler the reference's
   one-group-per-work-item queue suffered from (MapReduce.pm:122-125).
-- The surviving bucket join still shuffles on (band, band_hash); AQE
-  skew-join splitting handles residual imbalance, and the signature
-  table is range-partitioned on the band key to keep bucket rows
-  co-located (north_rule: "range-partitions signatures").
+- Under the cap, per-task pair emission is bounded by cap(cap-1)/2 —
+  the cap IS the skew bound on the default 'arrays' strategy.  The
+  adaptive triangle-block SALTED self-join remains selectable
+  (cfg.lsh_pair_strategy='salted_join') for deployments that raise the
+  cap to where one bucket's quadratic emission would straggle; it
+  spreads a bucket over G(G+1)/2 tasks at the price of 3 extra
+  exchanges of the full membership.
+- The sizing join shuffles on (band, band_hash); AQE skew-join
+  splitting handles residual imbalance, and the signature table is
+  range-partitioned on the band key to keep bucket rows co-located
+  (north_rule: "range-partitions signatures").
 """
 
 from __future__ import annotations
@@ -110,11 +119,32 @@ def candidate_pairs(
     aggregate gets map-side combine and the equi-join is
     AQE-skew-splittable.  Both the aggregate and the probe side read
     the (materialized) signature table, so the Arrow/pandas UDF still
-    evaluates once; the sized membership is then localCheckpoint'ed
-    (when `materialize`) because the self-join fans the DAG out again.
-    (The pipeline runner's parquet checkpoints play this role across
-    stages; this covers standalone use.)  AQE's skew-join splitting
-    handles residual imbalance above the explicit bucket cap.
+    evaluates once.
+
+    Pair generation then follows cfg.lsh_pair_strategy:
+
+    - 'arrays' (default): the n_docs*bands bucket membership — the
+      pipeline's bulkiest intermediate — stops moving after the sizing
+      join.  Each surviving bucket's sorted member array is collected
+      ON THE JOIN'S (band, band_hash) PARTITIONING (no exchange) and
+      i<j pairs stream out of one nested JVM explode; (a, b) is unique
+      per band by construction (one bucket per doc per band), so
+      n_bands is a single groupBy count.  3 exchanges end-to-end, no
+      mid-stage barrier.  Safe against mega-buckets: the semi-join
+      drops above-cap buckets BEFORE any array aggregates, so no
+      unbounded collect_list buffer can build, and per-task quadratic
+      work is bounded by cap(cap-1)/2 emissions (~2M rows at the
+      default cap — a normal task's workload, not a straggler).
+    - 'salted_join': the adaptive triangle-block salted self-join
+      (below), which spreads even one bucket's pair enumeration over
+      G(G+1)/2 tasks — the shape to pick if the cap is raised to where
+      cap^2/2 emissions in one task would straggle.  Costs 3 more
+      exchanges of the full membership plus a fan-out barrier.
+
+    Both strategies emit identical (a, b, n_bands) rows
+    (tests/test_minhash_lsh.py parity test); the default won every
+    drift-paired round at the 756k-page point (median per-round ratio
+    0.70, PAIRED_lsh_strategy.json) on top of the plan-shape argument.
     """
     if materialize and not sigs_materialized:
         # bind the UDF-produced signature column behind a barrier: the
@@ -135,21 +165,69 @@ def candidate_pairs(
         ),
         ["band", "band_hash"],
     ).select("band", "band_hash", id_col, "bucket_size")
-    if materialize:
-        member = materialize_barrier(member, cfg)
-
     skew_report = sizes.where(F.col("bucket_size") > cfg.lsh_bucket_cap)
 
-    # SALTED bucket self-join (north_rule), ADAPTIVE: each member gets
-    # a salt g = xxhash64(id) mod G_b where G_b grows with ITS bucket's
-    # size (1 for ordinary buckets — zero replication overhead — up to
-    # cfg.salt_buckets for buckets near the cap).  The left side is
-    # replicated to every block g' >= g and the join key includes the
-    # block, so one big bucket's quadratic pair enumeration spreads
-    # over G_b(G_b+1)/2 independent tasks instead of one straggler
-    # (the reference's one-group-per-work-item pitfall,
-    # MapReduce.pm:122-125).  Typical dup buckets (2-5 docs) pay
-    # nothing; only genuinely hot buckets fan out.
+    if cfg.lsh_pair_strategy == "arrays":
+        pairs = _pairs_from_bucket_arrays(member, id_col)
+        return pairs, skew_report
+
+    if materialize:
+        # the self-join fans the DAG out again; bind the sized
+        # membership behind a barrier (the pipeline runner's parquet
+        # checkpoints play this role across stages; this covers
+        # standalone use)
+        member = materialize_barrier(member, cfg)
+    pairs = _pairs_from_salted_join(member, cfg, id_col)
+    return pairs, skew_report
+
+
+def _pairs_from_bucket_arrays(member: DataFrame, id_col: str) -> DataFrame:
+    """Emit i<j pairs from each capped bucket's sorted member array.
+
+    groupBy(band, band_hash) runs on the sizing join's output
+    partitioning — no exchange — and sort_array makes a < b free (the
+    inner explode slices strictly after the outer element).  The
+    nested Generate streams: no m^2 pair array is ever materialized
+    per row, only the m-element member array (<= cap * 8 bytes).
+    """
+    arrays = member.groupBy("band", "band_hash").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("members")
+    )
+    return (
+        arrays.select(
+            "band",
+            F.col("members"),
+            F.posexplode("members").alias("i", "a"),
+        )
+        .select(
+            "a",
+            # slice is 1-based: elements strictly after 0-based index i
+            # start at position i+2; over-long length clamps to the end
+            F.explode(
+                F.slice("members", F.col("i") + F.lit(2), F.size("members"))
+            ).alias("b"),
+        )
+        # one bucket per doc per band -> (a, b) unique per band -> the
+        # per-pair row count IS the co-bucketed band count
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def _pairs_from_salted_join(
+    member: DataFrame, cfg: DedupConfig, id_col: str
+) -> DataFrame:
+    """SALTED bucket self-join (north_rule), ADAPTIVE: each member gets
+    a salt g = xxhash64(id) mod G_b where G_b grows with ITS bucket's
+    size (1 for ordinary buckets — zero replication overhead — up to
+    cfg.salt_buckets for buckets near the cap).  The left side is
+    replicated to every block g' >= g and the join key includes the
+    block, so one big bucket's quadratic pair enumeration spreads
+    over G_b(G_b+1)/2 independent tasks instead of one straggler
+    (the reference's one-group-per-work-item pitfall,
+    MapReduce.pm:122-125).  Typical dup buckets (2-5 docs) pay
+    nothing; only genuinely hot buckets fan out.
+    """
     Gmax = max(1, cfg.salt_buckets)
     g_b = F.least(
         F.greatest((F.col("bucket_size") / 256).cast("int"), F.lit(1)),
@@ -182,4 +260,4 @@ def candidate_pairs(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
-    return pairs, skew_report
+    return pairs

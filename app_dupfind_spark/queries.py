@@ -44,6 +44,7 @@ from app_dupfind_spark.operators.dedup_pipeline import near_dup_pipeline
 from app_dupfind_spark.operators.exact import having_at_least, keep_first
 from app_dupfind_spark.operators.jaccard import jaccard_pairs
 from app_dupfind_spark.operators.minhash_lsh import candidate_pairs, signatures
+from app_dupfind_spark.session import ensure_session_hygiene
 from app_dupfind_spark.operators.multimodal import extract_features
 from app_dupfind_spark.operators.report import (
     dup_summary,
@@ -95,6 +96,7 @@ NEAR_CFG = DedupConfig(jaccard_threshold=NEAR_CLUSTER_TAU, span_enabled=False)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_hygiene(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -119,6 +121,7 @@ planted AS (
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_hygiene(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 

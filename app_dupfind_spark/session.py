@@ -40,6 +40,20 @@ def get_spark(
         # cause simultaneous first-touch arena growth (tens of seconds
         # of page faults on the first full-size UDF pass)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # Constraint propagation OFF.  Catalyst's
+        # UnionBase.rewriteConstraints throws
+        # NoSuchElementException("key not found: u#NNN") when a
+        # constraint references an attribute that plan deduplication
+        # re-aliased — triggered (input-size/AQE-dependently) by the
+        # CC stage's self-unions over checkpointed plans; reproduced
+        # by tests/test_pipeline.py::test_estimate_mode_end_to_end
+        # once the LSH 'arrays' strategy shifted upstream stats.  The
+        # engine's plans declare their filters and non-null guards
+        # explicitly (constraint INFERENCE adds nothing here), and
+        # inference is also a known compile-time quadratic hazard on
+        # wide iterative plans, so off is the right default at scale,
+        # not just a workaround.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         # deterministic session timezone for timestamp columns
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -49,4 +63,16 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def ensure_session_hygiene(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable confs the engine's plans REQUIRE to a
+    session the engine did not create (the correctness driver and any
+    embedding application hand us theirs).  Today that is exactly one
+    conf: constraint propagation off (see get_spark — the Catalyst
+    rewriteConstraints NoSuchElementException on self-unions over
+    checkpointed plans).  Builder-only confs (AQE, Arrow) stay the
+    host's choice: they change speed, not validity."""
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     return spark

@@ -123,6 +123,22 @@ def test_bucket_cap_truncates_and_reports(spark, cfg):
     assert skew.count() == small_cap.lsh_bands  # all 32 bands skewed
 
 
+def test_pair_strategies_identical(spark, pages, cfg):
+    """'arrays' (default) and 'salted_join' must emit identical
+    (a, b, n_bands) rows — the strategy knob trades plan shape, never
+    results."""
+    sigs = signatures(pages, cfg, "url", "text").localCheckpoint()
+    got = {}
+    for strategy in ("arrays", "salted_join"):
+        scfg = DedupConfig(lsh_pair_strategy=strategy)
+        pairs, _ = candidate_pairs(sigs, scfg, "url", sigs_materialized=True)
+        got[strategy] = {
+            (r["a"], r["b"], r["n_bands"]) for r in pairs.collect()
+        }
+    assert got["arrays"] == got["salted_join"]
+    assert got["arrays"], "fixture corpus must produce candidate pairs"
+
+
 def test_candidate_plan_has_no_bucket_window(spark):
     """r5: bucket sizing must be groupBy-count + join, never a count
     window over (band, band_hash) — a boilerplate mega-bucket would
