@@ -165,3 +165,33 @@ def test_candidate_plan_has_no_bucket_window(spark):
         for line in plan.splitlines():
             if "Window [" in line:
                 assert "band_hash" not in line, line
+
+
+def test_arrays_pair_plan_shape(spark):
+    """The default 'arrays' strategy must keep its 3-exchange contract
+    (PLANS.md): one shuffle for bucket sizing, one for the sizing join
+    probe side, one for the final (a, b) aggregation — the per-bucket
+    collect_list and the nested pair Generates ride the join's
+    (band, band_hash) partitioning with no extra exchange, and no
+    Window node appears anywhere."""
+    from app_dupfind_spark.config import DedupConfig
+    from app_dupfind_spark.operators.minhash_lsh import (
+        candidate_pairs,
+        signatures,
+    )
+
+    cfg = DedupConfig()
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(30))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    sigs = signatures(df, cfg, "doc_id", "text").localCheckpoint()
+    pairs, _ = candidate_pairs(sigs, cfg, "doc_id", sigs_materialized=True)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 3, plan
+    assert "Window" not in plan, plan
+    # the bulk membership must aggregate into arrays WITHOUT an
+    # exchange between the sizing join and the collect_list
+    join_pos = plan.find("Join")
+    agg_pos = plan.find("collect_list")
+    assert 0 <= agg_pos < join_pos, "collect_list must sit above the join"
