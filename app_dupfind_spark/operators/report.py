@@ -122,6 +122,15 @@ def human_report_df(
             F.lit("b)"),
         ).alias("line"),
     )
+    # the per-cluster rank window is the one deliberate window on this
+    # path: line_no is the sink's OUTPUT (sequential member numbering
+    # within a rendered group), so per-cluster ordering is the
+    # semantics, not an implementation choice — any sink writing a
+    # group's lines in order serializes that group.  The robot sink is
+    # the scale-safe alternative (rank capped at max_members, count
+    # folded in from an aggregate); the human format exists for
+    # human-sized cluster counts (reference prints every member,
+    # Common.pm:234 — same sequential group write).
     wm = Window.partitionBy("cluster_id").orderBy("member")
     members = c.select(
         "cluster_id",
