@@ -250,10 +250,23 @@ def keep_first(
     """A5: dedup-by-composite-key, keep-first — the hardlink-prune
     analog (ref toss_out_hardlinks, Common.pm:70-94: keeps the
     asciibetically-first path per (dev,inode)).  Graft form: one row per
-    key, earliest order_col wins, id_col as deterministic tiebreak."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc(), F.col(id_col).asc())
+    key, earliest order_col wins, id_col as deterministic tiebreak.
+
+    Plan shape: a pure min_by aggregate, NOT a row_number window — the
+    aggregate gets map-side partial combine (each map task forwards one
+    winner per key), so a degenerate mega-key shuffles one row per map
+    partition instead of sorting its whole group in one task (the same
+    de-windowing rule as clusters_from_digests above; a rank window
+    would be WindowGroupLimit-eligible, but the aggregate needs no sort
+    at all).  The (order_col, id_col) ordering struct is unique per row
+    whenever id_col is, so the winner is deterministic."""
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*key_cols)
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in df.columns]),
+                F.struct(F.col(order_col), F.col(id_col)),
+            ).alias("__w")
+        )
+        .select("__w.*")
     )

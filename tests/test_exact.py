@@ -100,11 +100,12 @@ def test_size_projection_counts_chars(spark):
     assert rows == {"héllo": 5, "": 0}
 
 
-def test_keep_first_gets_window_group_limit(spark):
-    """keep_first's rank window is partitioned by the dedup key — a
-    url re-crawled 10^6 times is a real group at web scale.  Its
-    `__rn == 1` filter must trigger WindowGroupLimit so each map
-    partition keeps one row per key BEFORE the window shuffle."""
+def test_keep_first_plan_has_no_window(spark):
+    """keep_first is keyed by the dedup key — a url re-crawled 10^6
+    times is a real group at web scale.  The plan must be a pure
+    min_by aggregate with a map-side partial (one winner per key per
+    map task crosses the shuffle), not a rank window sorting the whole
+    group in one task."""
     from app_dupfind_spark.operators.exact import keep_first
 
     df = spark.createDataFrame(
@@ -113,4 +114,19 @@ def test_keep_first_gets_window_group_limit(spark):
     )
     kf = keep_first(df, ["url"], "ts", "url")
     plan = kf._jdf.queryExecution().executedPlan().toString()
-    assert "WindowGroupLimit" in plan
+    assert "Window" not in plan
+    assert "min_by" in plan
+    # partial (map-side) aggregation before the exchange
+    assert "partial_min_by" in plan
+
+
+def test_keep_first_null_order_values(spark):
+    # null order_col sorts FIRST (asc nulls-first), matching the rank
+    # window shape this replaced; id breaks the tie deterministically
+    df = spark.createDataFrame(
+        [("u1", None, "b"), ("u1", 1, "a"), ("u2", 2, "c")],
+        "key string, ts int, id string",
+    )
+    out = keep_first(df, ["key"], "ts", "id").collect()
+    got = {r["key"]: (r["ts"], r["id"]) for r in out}
+    assert got == {"u1": (None, "b"), "u2": (2, "c")}
