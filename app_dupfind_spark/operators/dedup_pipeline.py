@@ -8,6 +8,9 @@ Stage graph (SURVEY §3.4), each stage checkpointable via PipelineRunner:
     -> exact    size/weed/xxhash64 cascade -> exact dup members
     -> sigs     shingle -> MinHash + SimHash signatures
     -> cands    LSH band buckets -> candidate pairs (skew-capped)
+    -> span_cand (optional) long-shingle candidate index
+    (exact, sigs->cands and span_cand depend only on canon and run
+    CONCURRENTLY from a driver thread pool — guide §2.6 back-fill)
     -> verify   cfg.verify_mode: 'exact' = pair-targeted exact
                 shingle-Jaccard gate (deterministic truth, no estimator
                 noise at the threshold boundary); 'estimate' = MinHash
@@ -193,25 +196,73 @@ def near_dup_pipeline(
             runner.track("exact", k, o)
         return exact_dup_cascade(canon.df, cfg, id_col, text_col, counters=obs)
 
-    exact = runner.run_stage("exact", _exact, upstream_fingerprint=fp)
+    # --- concurrent independent stages (guide §2.6) -----------------
+    # exact, the LSH chain (sigs -> cands) and the span candidate index
+    # all depend ONLY on canon.  Driver code calling actions
+    # sequentially was the only thing serializing them; submitting the
+    # three chains from a small thread pool lets each job's tasks
+    # back-fill executors freed by another job's stragglers (FIFO
+    # scheduling does exactly this).  Stage outputs, fingerprints and
+    # checkpoint dirs are per-stage, so the resume contract is
+    # unchanged; metrics are re-sorted to the canonical stage order
+    # below (the run summary stays deterministic).
 
-    # signatures are range-partitioned on the doc key before the
-    # checkpoint write (north_rule): balanced files, and downstream
-    # per-doc joins (verify stage) read a clustered layout
-    sigs = runner.run_stage(
-        "sigs",
-        lambda: signatures(canon.df, cfg, id_col, text_col).repartitionByRange(
+    def _sigs_fn() -> DataFrame:
+        # signatures are HASH-partitioned on the doc key before the
+        # checkpoint write: balanced files, and downstream per-doc
+        # joins (verify stage) read a clustered layout.  Hash, not
+        # range (r6): a range exchange SAMPLES its child to compute
+        # bounds, and the child here is the MinHash/SimHash UDF
+        # lineage — the sampling pass re-evaluated the whole
+        # Arrow/pandas stage before the real one (measured 2.4-3.9 s
+        # vs 1.5-1.7 s for the hash exchange on the 50k point, guide
+        # §2.4: no shuffle should run twice).  Every consumer re-keys
+        # by equi-join/groupBy, so range clustering bought nothing
+        # hash clustering doesn't.
+        return signatures(canon.df, cfg, id_col, text_col).repartition(
             cfg.shuffle_partitions, id_col
-        ),
-        upstream_fingerprint=fp,
-    )
+        )
 
-    cands = runner.run_stage(
-        "cands",
-        # sigs.df reads from the stage checkpoint — already a barrier
-        lambda: candidate_pairs(sigs.df, cfg, id_col, sigs_materialized=True)[0],
-        upstream_fingerprint=runner.fingerprint("sigs"),
-    )
+    def _lsh_chain() -> tuple:
+        s = runner.run_stage("sigs", _sigs_fn, upstream_fingerprint=fp)
+        c = runner.run_stage(
+            "cands",
+            # s.df reads from the stage checkpoint — already a barrier
+            lambda: candidate_pairs(s.df, cfg, id_col, sigs_materialized=True)[0],
+            upstream_fingerprint=runner.fingerprint("sigs"),
+        )
+        return s, c
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_lsh = pool.submit(_lsh_chain)
+        f_exact = pool.submit(
+            runner.run_stage, "exact", _exact, upstream_fingerprint=fp
+        )
+        f_span_cand = None
+        if cfg.span_enabled:
+            # the span candidate index (the stage's expensive half)
+            # needs only canon; the verified-pair anti-join + LCS stay
+            # downstream of verify in the 'spans' stage
+            f_span_cand = pool.submit(
+                runner.run_stage,
+                "span_cand",
+                lambda: span_candidates(canon.df, cfg, id_col, text_col),
+                upstream_fingerprint=fp,
+            )
+        exact = f_exact.result()
+        sigs, cands = f_lsh.result()
+        span_cand = f_span_cand.result() if f_span_cand is not None else None
+
+    _order = {
+        s: i
+        for i, s in enumerate(
+            ["canon", "exact", "sigs", "cands", "span_cand", "verify",
+             "spans", "cc", "clusters"]
+        )
+    }
+    runner.metrics.sort(key=lambda m: _order.get(m["stage"], 99))
 
     # Q1: no candidates -> skip verification outright
     if cands.rows == 0:
@@ -247,8 +298,9 @@ def near_dup_pipeline(
     # branch, so an empty candidate set above does NOT skip it.
     if cfg.span_enabled:
         def _spans() -> DataFrame:
-            cand = span_candidates(canon.df, cfg, id_col, text_col)
-            fresh = cand.join(verified.df.select("a", "b"), ["a", "b"], "left_anti")
+            fresh = span_cand.df.join(
+                verified.df.select("a", "b"), ["a", "b"], "left_anti"
+            )
             return shared_span_pairs(
                 fresh, canon.df, cfg.min_span_chars, id_col, text_col,
                 max_chars=cfg.span_max_chars,
@@ -257,7 +309,8 @@ def near_dup_pipeline(
         spans = runner.run_stage(
             "spans",
             _spans,
-            upstream_fingerprint=runner.fingerprint("verify"),
+            upstream_fingerprint=runner.fingerprint("span_cand")
+            + "|" + runner.fingerprint("verify"),
         )
         span_edges = spans.df.select("a", "b")
         n_span_edges = spans.rows

@@ -90,7 +90,8 @@ def test_metrics_recorded_per_stage(result):
     _, runner, _ = result
     stages = [m["stage"] for m in runner.metrics]
     assert stages == [
-        "canon", "exact", "sigs", "cands", "verify", "spans", "cc", "clusters"
+        "canon", "exact", "sigs", "cands", "span_cand", "verify", "spans",
+        "cc", "clusters"
     ]
     assert all(m["rows_out"] >= 0 for m in runner.metrics)
 
