@@ -50,12 +50,17 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.withColumn("m", F.least("mn", "u")).select("u", "m")
+    # no trailing distinct (r6): every caller feeds this into
+    # _small_star, whose first step re-maps to (greatest, least) and
+    # dedups — a distinct here was a third Aggregate per round paying
+    # plan-time and an exchange for rows the next operator dedups
+    # anyway.  (The per-round driver PLANNING cost, ~0.4-0.9 s of the
+    # round at the 50k point, scales with operator count — guide §7.3.)
     return (
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 

@@ -397,8 +397,17 @@ class PipelineRunner:
         """Run (or resume) one checkpointed stage."""
         if self.persist_mode == "memory":
             t0 = time.time()
-            out = fn().localCheckpoint(eager=True)
-            rows = out.count()
+            # row count rides the checkpoint materialization job via
+            # observe() instead of a second count() job per stage (r6):
+            # the observed node is evaluated exactly once (the eager
+            # localCheckpoint IS the single scan), so the count is
+            # exact — same discipline as the parquet seam, which reads
+            # counts from footers without a second pass.
+            row_obs = Observation()
+            out = fn().observe(
+                row_obs, F.count(F.lit(1)).alias("rows")
+            ).localCheckpoint(eager=True)
+            rows = int(row_obs.get["rows"])
             self._harvest(name)
             dt = time.time() - t0
             self.metrics.append(
