@@ -105,8 +105,14 @@ def _exact_verify(
     from app_dupfind_spark.operators.verify import minhash_est_jaccard
 
     tau, m = cfg.jaccard_threshold, cfg.est_clear_margin
+    # minhash-only attach (r6): this mode never reads SimHash, and the
+    # sigs checkpoint may legitimately not carry it (see _sigs_fn) —
+    # selecting only the columns the gate needs also keeps the join
+    # payload narrow (guide §2.3 project-before-the-exchange)
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("minhash").alias("minhash_a"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("minhash").alias("minhash_b"))
     scored = (
-        attach_signatures(cands.select("a", "b"), sigs, id_col)
+        cands.select("a", "b").join(sa, "a").join(sb, "b")
         .where(F.col("minhash_a").isNotNull() & F.col("minhash_b").isNotNull())
         .withColumn(
             "est", minhash_est_jaccard(F.col("minhash_a"), F.col("minhash_b"))
@@ -218,10 +224,15 @@ def near_dup_pipeline(
         # vs 1.5-1.7 s for the hash exchange on the 50k point, guide
         # §2.4: no shuffle should run twice).  Every consumer re-keys
         # by equi-join/groupBy, so range clustering bought nothing
-        # hash clustering doesn't.
-        return signatures(canon.df, cfg, id_col, text_col).repartition(
-            cfg.shuffle_partitions, id_col
-        )
+        # hash clustering doesn't.  SimHash is computed only when a
+        # downstream consumer exists (r6): the default 'exact' verify
+        # gates on the MinHash estimate + exact Jaccard and never
+        # reads it, so the exact-mode stage skips the second Arrow
+        # kernel and halves the checkpoint's signature payload.
+        return signatures(
+            canon.df, cfg, id_col, text_col,
+            with_simhash=(cfg.verify_mode != "exact"),
+        ).repartition(cfg.shuffle_partitions, id_col)
 
     def _lsh_chain() -> tuple:
         s = runner.run_stage("sigs", _sigs_fn, upstream_fingerprint=fp)

@@ -152,7 +152,13 @@ def candidate_pairs(
         # re-evaluation penalty when fed the raw UDF plan.  Callers
         # whose sigs already sit behind a stage checkpoint pass
         # sigs_materialized=True and skip this duplicate barrier.
-        sigs = materialize_barrier(sigs, cfg)
+        # Project to (id, minhash) FIRST (r6): a localCheckpoint
+        # materializes every column of its input — column pruning does
+        # not reach through it — so an unprojected barrier would
+        # compute and store the SimHash (and n_shingles) this operator
+        # never reads (guide §4.1: pass only the columns the function
+        # needs).
+        sigs = materialize_barrier(sigs.select(id_col, "minhash"), cfg)
     buckets = band_buckets(sigs, cfg, id_col)
 
     sizes = buckets.groupBy("band", "band_hash").agg(
