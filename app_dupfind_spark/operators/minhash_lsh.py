@@ -132,9 +132,12 @@ def candidate_pairs(
       n_bands is a single groupBy count.  3 exchanges end-to-end, no
       mid-stage barrier.  Safe against mega-buckets: the semi-join
       drops above-cap buckets BEFORE any array aggregates, so no
-      unbounded collect_list buffer can build, and per-task quadratic
+      unbounded collect_list buffer can build, and PER-BUCKET quadratic
       work is bounded by cap(cap-1)/2 emissions (~2M rows at the
-      default cap — a normal task's workload, not a straggler).
+      default cap).  A shuffle partition that hashes several near-cap
+      buckets together multiplies that bound in one task (the explode
+      stage is not a join, so AQE cannot split it); the salted_join
+      escape hatch covers that pathological regime (ADVICE r5).
     - 'salted_join': the adaptive triangle-block salted self-join
       (below), which spreads even one bucket's pair enumeration over
       G(G+1)/2 tasks — the shape to pick if the cap is raised to where
@@ -213,6 +216,11 @@ def _pairs_from_bucket_arrays(member: DataFrame, id_col: str) -> DataFrame:
                 F.slice("members", F.col("i") + F.lit(2), F.size("members"))
             ).alias("b"),
         )
+        # guard against duplicate ids in one bucket (ADVICE r5): if the
+        # input ever carried two rows with the same id, sort_array +
+        # slice would emit (x, x) self-pairs that 'salted_join' filters
+        # — a codegen predicate, no extra exchange, parity preserved
+        .where(F.col("a") != F.col("b"))
         # one bucket per doc per band -> (a, b) unique per band -> the
         # per-pair row count IS the co-bucketed band count
         .groupBy("a", "b")

@@ -73,6 +73,12 @@ def ensure_session_hygiene(spark: SparkSession) -> SparkSession:
     conf: constraint propagation off (see get_spark — the Catalyst
     rewriteConstraints NoSuchElementException on self-unions over
     checkpointed plans).  Builder-only confs (AQE, Arrow) stay the
-    host's choice: they change speed, not validity."""
+    host's choice: they change speed, not validity.
+
+    SESSION-WIDE SIDE EFFECT (ADVICE r5): the conf flip persists on
+    the host's session after this call — the host's unrelated queries
+    in the same session also lose constraint inference (a plan-quality
+    property, never a correctness one).  Hosts that want inference
+    back must restore the conf themselves after the engine call."""
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     return spark

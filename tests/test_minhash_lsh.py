@@ -190,8 +190,51 @@ def test_arrays_pair_plan_shape(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 3, plan
     assert "Window" not in plan, plan
-    # the bulk membership must aggregate into arrays WITHOUT an
-    # exchange between the sizing join and the collect_list
-    join_pos = plan.find("Join")
-    agg_pos = plan.find("collect_list")
-    assert 0 <= agg_pos < join_pos, "collect_list must sit above the join"
+    # the bulk membership must aggregate into arrays WITHOUT a shuffle
+    # between the sizing join and the collect_list.  Structural walk
+    # (ADVICE r5), not string offsets: find the collect_list aggregate,
+    # then assert no ShuffleExchange sits between it and the first Join
+    # below it (a BroadcastExchange on the join's build side is fine —
+    # it is below the Join, not on the path).
+    root = pairs._jdf.queryExecution().executedPlan()
+    if "AdaptiveSparkPlan" in root.nodeName():
+        # AdaptiveSparkPlanExec exposes its tree via initialPlan, not
+        # children()
+        root = root.initialPlan()
+
+    def _children(node):
+        cs = node.children()
+        return [cs.apply(i) for i in range(cs.size())]
+
+    def _find(node, pred):
+        if pred(node):
+            return node
+        for c in _children(node):
+            got = _find(c, pred)
+            if got is not None:
+                return got
+        return None
+
+    agg = _find(
+        root,
+        # simpleString prints this node only (toString prints the whole
+        # subtree and would match every ancestor)
+        lambda n: "Aggregate" in n.nodeName()
+        and "collect_list" in n.simpleString(100),
+    )
+    assert agg is not None, plan
+
+    def _path_to_join(node):
+        """Node names on the path from `node` (exclusive) down to the
+        first Join (exclusive); None if no Join below."""
+        for c in _children(node):
+            if "Join" in c.nodeName():
+                return []
+            sub = _path_to_join(c)
+            if sub is not None:
+                return [c.nodeName()] + sub
+        return None
+
+    path = _path_to_join(agg)
+    assert path is not None, plan
+    assert not any("Shuffle" in n or "Exchange" in n for n in path), path
