@@ -30,7 +30,12 @@ from app_dupfind_spark.plans.partitioning import ensure_min_partitions
 
 
 def doc_shingles(
-    df: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize: bool = False,
+    barrier_strategy: str = "local",
 ) -> DataFrame:
     """(id, shingle) exploded distinct word k-shingles, plus per-doc
     shingle count n_shingles (needed for the Jaccard denominator).
@@ -39,12 +44,41 @@ def doc_shingles(
     every shuffle move 8-byte longs instead of ~30-byte UTF-8 — at web
     scale the shingle column dominates shuffle volume, and hash-join on
     longs is markedly faster (collisions at 2^64 are immaterial next to
-    the MinHash approximation downstream)."""
+    the MinHash approximation downstream).
+
+    With materialize=True the per-doc shingle-hash ARRAYS are bound
+    behind a barrier and n_shingles/explode read the stored arrays
+    (r6): no per-doc count window (the window form sorts the whole
+    exploded index by id), the barrier holds one row per DOC instead
+    of one per shingle, and downstream fan-out replays a cheap explode
+    of stored arrays instead of the interpreted window pass (measured
+    2.6-3.6 s -> 2.4-2.6 s for jaccard_pairs at 50k).  The barrier is
+    REQUIRED for this shape: unbarriered, InferFiltersFromGenerate
+    infers `size(window_hashes(..)) > 0` from the explode and filter
+    pushdown re-inlines the whole interpreted HOF below the
+    parallelism-guard repartition, evaluating it serially on the
+    narrow scan layout (measured 487 s vs 0.8 s — the
+    q_minhash_signatures hazard).  materialize=False therefore keeps
+    the single-pass window form for barrier-free callers."""
     # parallelism guard: a small parquet input arrives as one partition
     # and the interpreted window-hash work would run on one core
     df = ensure_min_partitions(
         df, df.sparkSession.sparkContext.defaultParallelism, id_col
     )
+    if materialize:
+        arr = materialize_barrier(
+            df.select(
+                F.col(id_col), token_hashes(F.col(text_col)).alias("__th")
+            ).select(
+                F.col(id_col), window_hashes(F.col("__th"), k).alias("__wh")
+            ),
+            strategy=barrier_strategy,
+        )
+        return arr.select(
+            F.col(id_col),
+            F.size("__wh").cast("int").alias("n_shingles"),
+            F.explode("__wh").alias("shingle"),
+        ).select(id_col, "n_shingles", "shingle")
     # the window array is referenced exactly ONCE (inside explode) —
     # size()/where() references would re-evaluate the interpreted
     # window expression per reference; n_shingles comes from a count
@@ -92,10 +126,12 @@ def exact_jaccard_for_pairs(
         .distinct()
     )
     sub = docs.join(ids, id_col, "left_semi")
-    sh = doc_shingles(sub, k, id_col, text_col)
-    if materialize:
-        # the shingle table feeds both join roles; bind it once
-        sh = materialize_barrier(sh, strategy=barrier_strategy)
+    # the shingle table feeds both join roles; the array barrier
+    # inside doc_shingles binds the expensive pass once
+    sh = doc_shingles(
+        sub, k, id_col, text_col,
+        materialize=materialize, barrier_strategy=barrier_strategy,
+    )
     sa = sh.select(
         F.col(id_col).alias("a"), F.col("n_shingles").alias("n_a"), "shingle"
     )
@@ -139,12 +175,14 @@ def jaccard_pairs(
     constant column — the "never silent" truncation audit, riding the
     result instead of a side channel (a literal 0 when no cap is set).
     """
-    exploded = doc_shingles(df, k, id_col, text_col)
-    if materialize:
-        # the index fans out three ways (document frequency + both join
-        # sides); materialize once so the shingle computation doesn't
-        # re-run per branch
-        exploded = materialize_barrier(exploded, strategy=barrier_strategy)
+    # the index fans out three ways (document frequency + both join
+    # sides); the array barrier inside doc_shingles binds the shingle
+    # computation once, and each branch replays a cheap explode of the
+    # stored per-doc arrays
+    exploded = doc_shingles(
+        df, k, id_col, text_col,
+        materialize=materialize, barrier_strategy=barrier_strategy,
+    )
 
     # document frequency per shingle; singleton shingles can't pair
     dfreq_all = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))

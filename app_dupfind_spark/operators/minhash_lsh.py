@@ -150,19 +150,39 @@ def candidate_pairs(
     0.70, PAIRED_lsh_strategy.json) on top of the plan-shape argument.
     """
     if materialize and not sigs_materialized:
-        # bind the UDF-produced signature column behind a barrier: the
-        # band explode references it once per band and measured a 30x
-        # re-evaluation penalty when fed the raw UDF plan.  Callers
-        # whose sigs already sit behind a stage checkpoint pass
-        # sigs_materialized=True and skip this duplicate barrier.
-        # Project to (id, minhash) FIRST (r6): a localCheckpoint
-        # materializes every column of its input — column pruning does
-        # not reach through it — so an unprojected barrier would
-        # compute and store the SimHash (and n_shingles) this operator
-        # never reads (guide §4.1: pass only the columns the function
-        # needs).
-        sigs = materialize_barrier(sigs.select(id_col, "minhash"), cfg)
-    buckets = band_buckets(sigs, cfg, id_col)
+        # bind the UDF-produced lineage behind a barrier: the bucket
+        # pipeline reads its input twice (sizing aggregate + member
+        # probe) and measured a 30x re-evaluation penalty when fed the
+        # raw UDF plan.  Callers whose sigs already sit behind a stage
+        # checkpoint pass sigs_materialized=True and skip this
+        # duplicate barrier.
+        # The barrier stores the BAND-HASH ARRAYS, not the raw MinHash
+        # (r6): band_hashes then computes ONCE before the barrier
+        # instead of once per read side, and the stored row is 32
+        # longs instead of 128 (a localCheckpoint materializes every
+        # input column — column pruning does not reach through it —
+        # guide §4.1: keep only what the consumer needs).  Measured
+        # 2.7-3.2 s -> 2.3 s for the standalone pair query at 50k.
+        # NULL-signature rows keep a NULL band array through the
+        # barrier; the isNotNull filter runs AFTER it — a filter on
+        # the raw plan would be pushed below ensure_min_partitions'
+        # repartition with the UDF inlined and evaluate the whole
+        # Arrow stage serially on the narrow scan layout (the
+        # q_minhash_signatures pushdown hazard).
+        banded_arr = materialize_barrier(
+            sigs.select(
+                id_col,
+                band_hashes(
+                    F.col("minhash"), cfg.lsh_bands, cfg.lsh_rows
+                ).alias("__bands"),
+            ),
+            cfg,
+        )
+        buckets = banded_arr.where(F.col("__bands").isNotNull()).select(
+            id_col, F.posexplode("__bands").alias("band", "band_hash")
+        )
+    else:
+        buckets = band_buckets(sigs, cfg, id_col)
 
     sizes = buckets.groupBy("band", "band_hash").agg(
         F.count(F.lit(1)).alias("bucket_size")

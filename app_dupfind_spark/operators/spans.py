@@ -75,17 +75,29 @@ def span_candidates(
     )
     # index over the SAME truncated prefix the LCS kernel sees
     capped = F.substring(F.col(text_col), 1, cfg.span_max_chars)
-    sh = df.select(
-        F.col(id_col).alias("id"), token_hashes(capped).alias("__th")
-    ).select(
-        "id", F.explode(window_hashes(F.col("__th"), w)).alias("sh")
-    )
+    wh = window_hashes(F.col("__th"), w)
     if cfg.span_sample_mod > 1:
-        sh = sh.where(F.pmod(F.col("sh"), F.lit(cfg.span_sample_mod)) == 0)
-    # (window_hashes is array_distinct per doc — rows arrive unique,
-    # no extra distinct shuffle needed.)  The index fans out three ways
-    # (dfreq + both self-join sides): materialize once.
-    sh = materialize_barrier(sh, cfg)
+        # winnowing sample INSIDE the array (one JVM filter over the
+        # bound hashes) so the barrier below stores only kept windows
+        wh = F.filter(
+            wh, lambda h: F.pmod(h, F.lit(cfg.span_sample_mod)) == 0
+        )
+    # (window_hashes is array_distinct per doc — hashes arrive unique,
+    # no extra distinct shuffle needed.)  The index fans out twice
+    # (dfreq + the member probe): bind the PER-DOC ARRAYS behind the
+    # barrier (r6, same shape as doc_shingles/minhash_lsh) — one row
+    # per doc instead of one per window, the interpreted window pass
+    # runs once, and consumers replay a cheap explode.  The explode
+    # must sit AFTER the barrier: unbarriered, the inferred
+    # size(..)>0 filter would push the HOF below the repartition and
+    # serialize it (the q_minhash_signatures hazard).
+    arr = materialize_barrier(
+        df.select(
+            F.col(id_col).alias("id"), token_hashes(capped).alias("__th")
+        ).select("id", wh.alias("__wh")),
+        cfg,
+    )
+    sh = arr.select("id", F.explode("__wh").alias("sh"))
     # pair generation in the LSH 'arrays' shape (minhash_lsh.py, r6):
     # sizes first (map-side-combined aggregate), then each surviving
     # shingle's sorted member array streams i<j pairs from one nested
