@@ -107,6 +107,11 @@ def candidate_pairs(
     """LSH candidate pairs (a, b, n_bands) with a < b, plus the skew
     report (band, band_hash, bucket_size) of truncated buckets.
 
+    `sigs_materialized` is kept for API stability; since r6 the
+    materialized path always builds its own band-hash-array barrier
+    (which reads `sigs` exactly once), so the flag no longer changes
+    the plan — only materialize=False skips barriers entirely.
+
     J1 in SURVEY §2.5: same-key self-pairing, the grouping-as-join
     pattern the reference uses everywhere (A1–A3).
 
@@ -149,20 +154,20 @@ def candidate_pairs(
     drift-paired round at the 756k-page point (median per-round ratio
     0.70, PAIRED_lsh_strategy.json) on top of the plan-shape argument.
     """
-    if materialize and not sigs_materialized:
-        # bind the UDF-produced lineage behind a barrier: the bucket
+    if materialize:
+        # bind the band-hash pass behind a barrier: the bucket
         # pipeline reads its input twice (sizing aggregate + member
         # probe) and measured a 30x re-evaluation penalty when fed the
-        # raw UDF plan.  Callers whose sigs already sit behind a stage
-        # checkpoint pass sigs_materialized=True and skip this
-        # duplicate barrier.
-        # The barrier stores the BAND-HASH ARRAYS, not the raw MinHash
-        # (r6): band_hashes then computes ONCE before the barrier
-        # instead of once per read side, and the stored row is 32
-        # longs instead of 128 (a localCheckpoint materializes every
-        # input column — column pruning does not reach through it —
-        # guide §4.1: keep only what the consumer needs).  Measured
-        # 2.7-3.2 s -> 2.3 s for the standalone pair query at 50k.
+        # raw UDF plan.  The barrier stores the BAND-HASH ARRAYS, not
+        # the raw MinHash (r6): band_hashes computes ONCE before the
+        # barrier instead of once per read side, and the stored row is
+        # 32 longs instead of 128 (a localCheckpoint materializes
+        # every input column — column pruning does not reach through
+        # it — guide §4.1: keep only what the consumer needs).
+        # Measured 2.7-3.2 s -> 2.3 s for the standalone pair query at
+        # 50k; with sigs already checkpointed (the pipeline's cands
+        # stage) the extra barrier job still nets ~10% because sigs is
+        # then read once, not twice.
         # NULL-signature rows keep a NULL band array through the
         # barrier; the isNotNull filter runs AFTER it — a filter on
         # the raw plan would be pushed below ensure_min_partitions'
